@@ -1,0 +1,105 @@
+"""Explicit configuration for every runtime parameter of the engine.
+
+The reference scatters its operating point across compile-time defines and
+hard-coded literals (CadReco/obj_reco_lmicp.cpp:6-9,52-55;
+linemod/linemod.cpp:515-519,827-832,1820; ICP/common.cpp:264,336-372).  Here
+every knob is an explicit dataclass field with the reference default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorGradientConfig:
+    """Quantized colour-gradient modality (reference linemod.cpp:515-519)."""
+
+    weak_threshold: float = 10.0      # gradient magnitude gate at quantization
+    strong_threshold: float = 55.0    # gate for template feature candidates
+    num_features: int = 63            # features per template at level 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthNormalConfig:
+    """Quantized depth-normal modality (reference linemod.cpp:827-832)."""
+
+    distance_threshold: int = 2000    # mm; ignore depth beyond this
+    difference_threshold: int = 50    # mm; bilateral plane-fit gate
+    num_features: int = 63
+    extract_threshold: int = 2        # min per-label chessboard distance
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """LINE-MOD detector operating point (reference linemod.cpp:1820-1835)."""
+
+    t_at_level: Tuple[int, ...] = (5, 8)   # spread/sampling step per level
+    image_width: int = 640                 # PROC_IMG_WIDTH, obj_reco_lmicp.cpp:6
+    image_height: int = 480
+    color_gradient: ColorGradientConfig = ColorGradientConfig()
+    depth_normal: DepthNormalConfig = DepthNormalConfig()
+    max_features: int = 63                 # u8 accumulator invariant (linemod.cpp:1137)
+    max_templates: int = 1024              # static template-bank capacity
+    max_candidates: int = 64               # static top-K carried through refinement
+
+    @property
+    def pyramid_levels(self) -> int:
+        return len(self.t_at_level)
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """ICP refinement (reference obj_reco_lmicp.cpp:52-55, ICP/ICP.cpp:617-809)."""
+
+    max_iterations: int = 10          # icp_it_thr
+    dist_mean_threshold: float = 0.5  # mm
+    dist_diff_threshold: float = 0.01 # mm
+    min_points: int = 3               # ptNum_thr, ICP.cpp:633
+    max_points: int = 16384           # static padded point-set size
+    # The reference gates NN pairs by comparing FLANN's *squared* distance
+    # against the unsquared 3*dist_mean (ICP.cpp:268 with L2_Simple metric).
+    # True reproduces that behaviour bit-for-bit; False applies the gate to
+    # the unsquared distance (the presumably intended semantics).
+    squared_distance_gate: bool = True
+    # "point_to_point" = Kabsch/SVD exactly as the reference (ICP.cpp:730-744);
+    # "point_to_plane" = 6x6 Gauss-Newton normal equations (TPU perf path).
+    mode: str = "point_to_point"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Full recognition pipeline (reference CObjRecoLmICP, obj_reco_lmicp.cpp:47-60)."""
+
+    detector: DetectorConfig = DetectorConfig()
+    icp: IcpConfig = IcpConfig()
+    matching_threshold: float = 75.0        # percent, obj_reco_lmicp.cpp:53
+    valid_depth_max_mm: float = 900.0       # is_vec3f_valid cap, common.cpp:264
+    # Hard-coded template-rendering intrinsics (ICP/common.cpp:326-372).
+    template_fx: float = 608.0
+    template_fy: float = 608.0
+    template_cx: float = 320.0
+    template_cy: float = 240.0
+    # Model depth png is stored in 0.1 mm units (obj_reco_lmicp.cpp:188).
+    model_depth_scale: float = 0.1
+    nms_object_distance: float = 50.0       # mm; th_obj_dist for 3D NMS
+
+
+@dataclasses.dataclass(frozen=True)
+class KcfConfig:
+    """KCF tracker (reference kcf_tracker/kcftracker.cpp:92-170)."""
+
+    use_hog: bool = True
+    use_lab: bool = False
+    use_fixed_window: bool = False
+    use_multiscale: bool = True
+    lambda_reg: float = 1e-4
+    padding: float = 2.5
+    output_sigma_factor: float = 0.125      # HOG mode (kcftracker.cpp:106)
+    interp_factor: float = 0.012            # HOG mode
+    kernel_sigma: float = 0.6               # HOG mode
+    cell_size: int = 4
+    template_size: int = 96
+    scale_step: float = 1.05
+    scale_weight: float = 0.95

@@ -1,0 +1,69 @@
+"""Depth-image back-projection (pinhole unprojection), fully vectorized.
+
+TPU-native equivalent of ``cup_d2pc::depthTo3d`` (ICP/depth_to_3d.cpp:191-221)
+and ``rescaleDepth`` (ICP/depth_to_3d.cpp:244-269):
+
+- u16 depth in millimetres is divided by 1000 to metres; a raw value of 0 is
+  invalid and becomes NaN (depth_to_3d.cpp:255-260).
+- unprojection is the dense no-mask path (depth_to_3d.cpp:99-137):
+  ``x = (u - cx)/fx * z``, ``y = (v - cy)/fy * z``.
+
+The downstream pipeline immediately rescales to millimetres
+(ICP/detection.cpp:38-40); :func:`depth_to_3d_mm` fuses that.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rescale_depth_to_m(depth_u16: jax.Array) -> jax.Array:
+    """u16 depth (mm) -> float32 metres, 0 -> NaN."""
+    z = depth_u16.astype(jnp.float32) / 1000.0
+    return jnp.where(depth_u16 == 0, jnp.nan, z)
+
+
+def depth_to_3d(depth_u16: jax.Array, k: jax.Array) -> jax.Array:
+    """Back-project an ``(H, W)`` u16 depth image (mm) to ``(H, W, 3)`` metres.
+
+    ``k`` is the 3x3 pinhole intrinsic matrix.  Invalid (zero) depth yields
+    NaN points, matching rescaleDepth + depthTo3dNoMask semantics.
+    """
+    h, w = depth_u16.shape
+    z = rescale_depth_to_m(depth_u16)
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def depth_to_3d_mm(depth_u16: jax.Array, k: jax.Array) -> jax.Array:
+    """Back-project to millimetres (depthTo3d followed by scale_mat_vec3f
+    x1000, ICP/detection.cpp:38-40)."""
+    return depth_to_3d(depth_u16, k) * 1000.0
+
+
+def intrinsics_matrix(fx: float, fy: float, cx: float, cy: float) -> jax.Array:
+    """Build a 3x3 K (setCamIntrinsic, ICP/common.cpp:374-379)."""
+    return jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],
+                     dtype=jnp.float32)
+
+
+def scale_intrinsics(fx: float, fy: float, cx: float, cy: float,
+                     zoom: float):
+    """Scale intrinsics when resizing the input to the processing width
+    (PrepareInputData, CadReco/obj_reco_lmicp.cpp:241-248)."""
+    return fx * zoom, fy * zoom, cx * zoom, cy * zoom
+
+
+def valid_mm(points_mm: jax.Array, max_depth_mm: float = 900.0) -> jax.Array:
+    """Validity of back-projected points in mm: ``z <= 900``.
+
+    NaN z compares False, so invalid depth is rejected exactly like
+    ``is_vec3f_valid`` (ICP/common.cpp:260-266).
+    """
+    return points_mm[..., 2] <= max_depth_mm

@@ -1,0 +1,189 @@
+"""Statically-shaped image primitives used by the quantization front-end.
+
+Each primitive reproduces the exact arithmetic of the OpenCV call used by
+the reference (cited per function), because the downstream quantizations are
+bit-level decisions (orientation bins, bitmask votes) where float drift flips
+labels.  Integer paths use the same fixed-point scheme as OpenCV's u8 SIMD
+kernels, so outputs are bit-exact (verified against cv2 in tests).
+
+All functions take/return ``jnp`` arrays with static shapes and are safe
+under ``jit``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# OpenCV's fixed small Gaussian kernel for ksize=7, sigma=0
+# (getGaussianKernel small_gaussian_tab): [4,14,28,36,28,14,4]/128.
+_GAUSS7 = np.array([4, 14, 28, 36, 28, 14, 4], dtype=np.int32)
+# pyrDown 5-tap kernel [1,4,6,4,1]/16 (per axis).
+_PYR5 = np.array([1, 4, 6, 4, 1], dtype=np.int32)
+
+
+def _pad_replicate(x: jax.Array, r: int, axes=(0, 1)) -> jax.Array:
+    pad = [(0, 0)] * x.ndim
+    for a in axes:
+        pad[a] = (r, r)
+    return jnp.pad(x, pad, mode="edge")
+
+
+def _pad_reflect101(x: jax.Array, r: int, axes=(0, 1)) -> jax.Array:
+    pad = [(0, 0)] * x.ndim
+    for a in axes:
+        pad[a] = (r, r)
+    return jnp.pad(x, pad, mode="reflect")
+
+
+def _sep_filter_int(x: jax.Array, kernel: np.ndarray, pad_mode: str) -> jax.Array:
+    """Separable integer filter; returns the raw int32 accumulator
+    (caller applies the fixed-point shift)."""
+    r = len(kernel) // 2
+    pad = _pad_replicate if pad_mode == "replicate" else _pad_reflect101
+    xp = pad(x.astype(jnp.int32), r, axes=(0,))
+    h = x.shape[0]
+    acc = jnp.zeros_like(x, dtype=jnp.int32)
+    for i, k in enumerate(kernel):
+        acc = acc + int(k) * jax.lax.slice_in_dim(xp, i, i + h, axis=0)
+    xp = pad(acc, r, axes=(1,))
+    w = x.shape[1]
+    acc = jnp.zeros_like(acc)
+    for i, k in enumerate(kernel):
+        acc = acc + int(k) * jax.lax.slice_in_dim(xp, i, i + w, axis=1)
+    return acc
+
+
+def gaussian_blur7_u8(img: jax.Array) -> jax.Array:
+    """7x7 Gaussian blur of a u8 image, BORDER_REPLICATE.
+
+    Matches ``GaussianBlur(src, dst, Size(7,7), 0, 0, BORDER_REPLICATE)``
+    (linemod.cpp:247): OpenCV's u8 path runs the fixed small kernel in 8-bit
+    fixed point (coefficients x256 per axis, combined shift 16 with
+    round-half-up), which we reproduce exactly in int32.
+    """
+    k = _GAUSS7 * 2  # x256 per-axis fixed-point coefficients (sum 256)
+    acc = _sep_filter_int(img, k, "replicate")
+    return ((acc + (1 << 15)) >> 16).astype(jnp.uint8)
+
+
+def sobel3_i16(img: jax.Array, axis: str) -> jax.Array:
+    """3x3 Sobel derivative of a u8 image into int16, BORDER_REPLICATE.
+
+    Matches ``Sobel(smoothed, d, CV_16S, dx, dy, 3, 1.0, 0.0,
+    BORDER_REPLICATE)`` (linemod.cpp:248-249).  ``axis`` is "x" or "y".
+    """
+    deriv = np.array([-1, 0, 1], dtype=np.int32)
+    smooth = np.array([1, 2, 1], dtype=np.int32)
+    x = img.astype(jnp.int32)
+    h, w = img.shape[:2]
+    kr, kc = (smooth, deriv) if axis == "x" else (deriv, smooth)
+    xp = _pad_replicate(x, 1, axes=(0,))
+    acc = sum(int(k) * jax.lax.slice_in_dim(xp, i, i + h, axis=0)
+              for i, k in enumerate(kr))
+    xp = _pad_replicate(acc, 1, axes=(1,))
+    acc = sum(int(k) * jax.lax.slice_in_dim(xp, i, i + w, axis=1)
+              for i, k in enumerate(kc))
+    return acc.astype(jnp.int16)
+
+
+def pyr_down_u8(img: jax.Array) -> jax.Array:
+    """OpenCV ``pyrDown`` of a u8 image to half size (linemod.cpp:441).
+
+    5-tap [1,4,6,4,1]/16 per axis in integer fixed point (combined /256,
+    round-half-up), BORDER_REFLECT_101, even-index decimation.  Supports
+    (H, W) and (H, W, C); H and W must be even (640x480 operating point).
+    """
+    acc = _sep_filter_int(img, _PYR5, "reflect101")
+    full = ((acc + 128) >> 8).astype(jnp.uint8)
+    return full[::2, ::2]
+
+
+def resize_nn_half(img: jax.Array) -> jax.Array:
+    """INTER_NEAREST half-size resize = even-index decimation
+    (mask/normal pyramid downsample, linemod.cpp:446/730)."""
+    return img[::2, ::2]
+
+
+def median_blur5_u8(img: jax.Array) -> jax.Array:
+    """5x5 median filter of a u8 image, BORDER_REPLICATE.
+
+    Matches ``medianBlur(dst, dst, 5)`` applied to the quantized-normal
+    bitmask image (linemod.cpp:684).  Median over byte *values* — for
+    power-of-two bitmask pixels this selects an actual label byte.
+    """
+    xp = _pad_replicate(img, 2, axes=(0, 1))
+    h, w = img.shape
+    windows = jnp.stack(
+        [jax.lax.slice(xp, (dy, dx), (dy + h, dx + w))
+         for dy in range(5) for dx in range(5)], axis=-1)
+    return jnp.sort(windows, axis=-1)[..., 12]
+
+
+def erode3_bool(mask: jax.Array, iterations: int = 1) -> jax.Array:
+    """3x3 binary erosion, BORDER_REPLICATE (cv::erode with default kernel;
+    linemod.cpp:466/751)."""
+    m = mask
+    h, w = mask.shape
+    for _ in range(iterations):
+        mp = _pad_replicate(m, 1, axes=(0, 1))
+        windows = [jax.lax.slice(mp, (dy, dx), (dy + h, dx + w))
+                   for dy in range(3) for dx in range(3)]
+        acc = windows[0]
+        for win in windows[1:]:
+            acc = jnp.logical_and(acc, win)
+        m = acc
+    return m
+
+
+def fast_atan2_deg(y: jax.Array, x: jax.Array) -> jax.Array:
+    """OpenCV ``cv::fastAtan2`` polynomial (used by cv::phase,
+    linemod.cpp:303): degrees in [0, 360), ~0.3 deg accuracy.  Reproduced
+    exactly so orientation-bin decisions match the reference."""
+    p1 = np.float32(np.degrees(0.9997878412794807))
+    p3 = np.float32(np.degrees(-0.3258083974640975))
+    p5 = np.float32(np.degrees(0.1555786518463281))
+    p7 = np.float32(np.degrees(-0.04432655554792128))
+    eps = np.float32(1.1920929e-07)  # FLT_EPSILON
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    big = ax >= ay
+    c = jnp.where(big, ay / (ax + eps), ax / (ay + eps))
+    c2 = c * c
+    poly = (((p7 * c2 + p5) * c2 + p3) * c2 + p1) * c
+    a = jnp.where(big, poly, 90.0 - poly)
+    a = jnp.where(x < 0, 180.0 - a, a)
+    a = jnp.where(y < 0, 360.0 - a, a)
+    return a
+
+
+def distance_transform_chessboard(nonzero: np.ndarray) -> np.ndarray:
+    """Exact chessboard (DIST_C, 3x3) distance of nonzero pixels to the
+    nearest zero pixel — ``cv::distanceTransform(.., DIST_C, 3)`` as used in
+    depth-normal feature extraction (linemod.cpp:763).
+
+    Host-side (numpy) two-pass chamfer, vectorized per row: the in-row
+    left-to-right dependency ``d[c] = min(a[c], d[c-1]+1)`` is a running
+    min-plus with unit slope, computed as ``c + cummin(a[c] - c)``.  Only
+    runs in the offline training path.
+    """
+    h, w = nonzero.shape
+    idx = np.arange(w, dtype=np.float64)
+
+    def _pass(d: np.ndarray) -> np.ndarray:
+        out = np.empty_like(d)
+        prev = np.full(w, np.inf)
+        for r in range(h):
+            up = np.minimum(prev, np.minimum(
+                np.concatenate(([np.inf], prev[:-1])),
+                np.concatenate((prev[1:], [np.inf]))))
+            a = np.minimum(d[r], up + 1.0)
+            row = idx + np.minimum.accumulate(a - idx)
+            prev = row
+            out[r] = row
+        return out
+
+    d0 = np.where(nonzero, np.inf, 0.0)
+    d1 = _pass(d0)
+    d2 = _pass(d1[::-1, ::-1])[::-1, ::-1]
+    return np.minimum(d1, d2).astype(np.float32)

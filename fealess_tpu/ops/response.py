@@ -1,0 +1,80 @@
+"""Spread-binarized orientations, response maps, and decimated layout.
+
+The reference implements these stages with SSE pointer loops
+(linemod/linemod.cpp:882-1117); here they are dense tensor ops that XLA
+fuses into a handful of VPU passes:
+
+- :func:`spread`: OR of the quantized bitmask image over a TxT
+  down/right-looking window (``spread``/``orUnaligned8u``,
+  linemod.cpp:882-965).
+- :func:`response_maps`: per-orientation similarity 0..4 from the spread
+  byte.  Instead of the reference's nibble-LUT shuffle
+  (``computeResponseMaps`` + SIMILARITY_LUT, linemod.cpp:970-1048) we
+  evaluate the generating rule directly with bitwise ops — response =
+  score of the closest set orientation bit, scores [4,2,1,0,0] by circular
+  distance — which is branch-free VPU arithmetic with no gather.
+- :func:`decimate`: re-layout of each response map into the
+  (T*T, H/T * W/T) "linear memory" ordering (``linearize``,
+  linemod.cpp:1060-1088) as one dense (8*T*T, P) tensor, so template
+  scoring becomes row-gather + shifted add (see fealess_tpu.ops.similarity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fealess_tpu.ops.luts import ORIENTATION_SCORES
+
+
+def spread(quantized: jax.Array, t: int) -> jax.Array:
+    """OR each pixel's bitmask over the TxT window anchored at the pixel
+    (shifts down/right read, i.e. dst[y,x] |= src[y+dy, x+dx])."""
+    h, w = quantized.shape
+    qp = jnp.pad(quantized, ((0, t), (0, t)))
+    out = jnp.zeros((h, w), jnp.uint8)
+    for dy in range(t):
+        for dx in range(t):
+            out = out | jax.lax.slice(qp, (dy, dx), (dy + h, dx + w))
+    return out
+
+
+def response_maps(spread_img: jax.Array) -> jax.Array:
+    """(8, H, W) u8 response stack from the spread bitmask image.
+
+    Equivalent to SIMILARITY_LUT lookups (verified against the expanded
+    table in tests): for orientation ``o``, the response is the max of
+    ORIENTATION_SCORES[d] over set bits at circular distance ``d``.
+    """
+    b = spread_img.astype(jnp.int32)
+    maps = []
+    for ori in range(8):
+        exact = (b >> ori) & 1
+        n1 = ((b >> ((ori + 1) % 8)) | (b >> ((ori - 1) % 8))) & 1
+        n2 = ((b >> ((ori + 2) % 8)) | (b >> ((ori - 2) % 8))) & 1
+        resp = jnp.where(
+            exact == 1, ORIENTATION_SCORES[0],
+            jnp.where(n1 == 1, ORIENTATION_SCORES[1],
+                      jnp.where(n2 == 1, ORIENTATION_SCORES[2], 0)))
+        maps.append(resp)
+    return jnp.stack(maps).astype(jnp.uint8)
+
+
+def decimate(resp: jax.Array, t: int) -> jax.Array:
+    """(8, H, W) responses -> (8*T*T, P) decimated planes, P = (H/T)*(W/T).
+
+    Channel ``label*T*T + a*T + b`` holds ``resp[label, a::T, b::T]``
+    row-major — exactly the reference's linear-memory rows
+    (linemod.cpp:1060-1088).
+    """
+    c, h, w = resp.shape
+    assert h % t == 0 and w % t == 0, (h, w, t)
+    hd, wd = h // t, w // t
+    x = resp.reshape(c, hd, t, wd, t)
+    x = x.transpose(0, 2, 4, 1, 3)            # (8, T, T, Hd, Wd)
+    return x.reshape(c * t * t, hd * wd)
+
+
+def build_level(quantized: jax.Array, t: int) -> jax.Array:
+    """quantized bitmask image -> decimated response tensor for one level."""
+    return decimate(response_maps(spread(quantized, t)), t)

@@ -1,0 +1,48 @@
+"""Tests for depth back-projection (ICP/depth_to_3d.cpp semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fealess_tpu.geometry import depth as gd
+
+
+def test_depth_to_3d_pinhole(rng):
+    h, w = 24, 32
+    k = gd.intrinsics_matrix(608.0, 608.0, 16.0, 12.0)
+    d = rng.integers(200, 2000, size=(h, w)).astype(np.uint16)
+    pts = np.asarray(gd.depth_to_3d(jnp.asarray(d), k))
+    # reproject: u = fx*x/z + cx
+    z = d.astype(np.float64) / 1000.0
+    u = 608.0 * pts[..., 0] / z + 16.0
+    v = 608.0 * pts[..., 1] / z + 12.0
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    np.testing.assert_allclose(u, uu, atol=1e-3)
+    np.testing.assert_allclose(v, vv, atol=1e-3)
+    np.testing.assert_allclose(pts[..., 2], z, atol=1e-6)
+
+
+def test_depth_zero_is_nan():
+    d = np.array([[0, 1000]], dtype=np.uint16)
+    k = gd.intrinsics_matrix(608.0, 608.0, 0.0, 0.0)
+    pts = np.asarray(gd.depth_to_3d(jnp.asarray(d), k))
+    assert np.isnan(pts[0, 0, 2])
+    assert pts[0, 1, 2] == 1.0
+
+
+def test_depth_to_3d_mm_scaling():
+    d = np.array([[500]], dtype=np.uint16)
+    k = gd.intrinsics_matrix(608.0, 608.0, 0.0, 0.0)
+    pts = np.asarray(gd.depth_to_3d_mm(jnp.asarray(d), k))
+    assert pts[0, 0, 2] == 500.0
+
+
+def test_valid_mm_cap():
+    pts = np.array([[[0, 0, 800.0], [0, 0, 901.0], [0, 0, np.nan]]],
+                   dtype=np.float32)
+    valid = np.asarray(gd.valid_mm(jnp.asarray(pts)))
+    np.testing.assert_array_equal(valid, [[True, False, False]])
+
+
+def test_scale_intrinsics():
+    fx, fy, cx, cy = gd.scale_intrinsics(1280.0, 1280.0, 640.0, 360.0, 0.5)
+    assert (fx, fy, cx, cy) == (640.0, 640.0, 320.0, 180.0)
