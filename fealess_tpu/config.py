@@ -66,6 +66,11 @@ class IcpConfig:
     # "point_to_point" = Kabsch/SVD exactly as the reference (ICP.cpp:730-744);
     # "point_to_plane" = 6x6 Gauss-Newton normal equations (TPU perf path).
     mode: str = "point_to_point"
+    # The reference accumulates the covariance WITHOUT subtracting centroids
+    # (ICP.cpp:730-735), which biases the rotation when clouds sit far from
+    # the origin.  False reproduces that; True is proper Kabsch (faster
+    # convergence, better accuracy — the recommended non-parity mode).
+    centered_covariance: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +89,9 @@ class EngineConfig:
     # Model depth png is stored in 0.1 mm units (obj_reco_lmicp.cpp:188).
     model_depth_scale: float = 0.1
     nms_object_distance: float = 50.0       # mm; th_obj_dist for 3D NMS
+    # Static refine-window side (must cover the largest template bbox and
+    # fit inside the processed image).
+    refine_crop: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

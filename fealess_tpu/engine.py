@@ -1,0 +1,202 @@
+"""The product engine API: ObjReco facade.
+
+Mirrors ``CObjRecoCAD``/``CObjRecoLmICP`` (CadReco/obj_reco_temp.h:6-30,
+obj_reco_lmicp.cpp:47-348): create an engine, ``add_obj`` a trained
+feature directory (``linemod_templates.yml`` + ``depth/<tid>.png`` model
+depths), then ``recognition`` on RGB-D frames returning world2cam poses.
+
+Host-side orchestration only — all compute runs through the jitted match
+(fealess_tpu.detector) and refine (fealess_tpu.pipeline) paths.  Divergence
+from the reference, documented: the scene intrinsics passed to refinement
+are the zoomed (resized-to-640) intrinsics; the reference passes the
+caller's unzoomed intrinsics even though the depth was resized
+(obj_reco_lmicp.cpp:101/188 vs 243-248) — identical whenever the input is
+already ``image_width`` wide.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from fealess_tpu import config as cfg
+from fealess_tpu import detector as det_mod
+from fealess_tpu import pipeline
+from fealess_tpu.bank import TemplateBank, pack_bank
+from fealess_tpu.geometry import depth as gd
+from fealess_tpu.geometry import transforms as tf
+from fealess_tpu.io import linemod_yaml
+
+# Error codes (CadReco/lotus_common.h:5-10)
+ERROR_INVALID_PARAM = 0x80000001
+ERROR_OPEN_FILE_FAILED = 0x80000002
+
+
+@dataclasses.dataclass
+class CamIntrinsics:
+    """TCamIntrinsicParam equivalent (lotus_common.h:24-35)."""
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+@dataclasses.dataclass
+class RecoResult:
+    """TObjRecoResult equivalent (lotus_common.h:95-100)."""
+    obj_tag: str
+    world2cam: np.ndarray          # 4x4 row-major
+    similarity: float
+    icp_dist: float
+    inlier_ratio: float
+
+
+class ObjReco:
+    """LmICP recognition engine (CObjRecoLmICP)."""
+
+    def __init__(self, engine_cfg: Optional[cfg.EngineConfig] = None):
+        self.cfg = engine_cfg or cfg.EngineConfig()
+        self.bank: Optional[TemplateBank] = None
+        self._model_depth: Optional[np.ndarray] = None   # (N, CROP, CROP) u16 mm
+        self._depth_origin: dict = {}                    # slot -> crop origin
+        self._feature_path = ""
+
+    # -- factory (CObjRecoCAD::Create, obj_reco_temp.cpp:13-30)
+    @staticmethod
+    def create(algorithm: str = "LmICP",
+               engine_cfg: Optional[cfg.EngineConfig] = None) -> "ObjReco":
+        if algorithm != "LmICP":
+            raise NotImplementedError(
+                f"algorithm {algorithm!r} not implemented (reference "
+                "implements only LmICP, obj_reco_temp.cpp:13-30)")
+        return ObjReco(engine_cfg)
+
+    @staticmethod
+    def get_version() -> str:
+        return "fealess-tpu-0.1.0"
+
+    def add_obj(self, feature_path: str) -> None:
+        """Load ``<dir>/linemod_templates.yml`` and per-template model
+        depths ``<dir>/depth/<tid>.png`` (AddObj, obj_reco_lmicp.cpp:67-74;
+        depth load obj_reco_lmicp.cpp:156-188).  Depth pngs are stored in
+        0.1mm units and converted to u16 mm here."""
+        self._feature_path = feature_path
+        yml = os.path.join(feature_path, "linemod_templates.yml")
+        det_cfg, classes = linemod_yaml.load_linemod(yml)
+        det_cfg = dataclasses.replace(
+            det_cfg,
+            image_width=self.cfg.detector.image_width,
+            image_height=self.cfg.detector.image_height,
+            max_candidates=self.cfg.detector.max_candidates,
+            max_features=self.cfg.detector.max_features,
+            max_templates=self.cfg.detector.max_templates)
+        self.cfg = dataclasses.replace(self.cfg, detector=det_cfg)
+        if sum(len(v) for v in classes.values()) == 0:
+            raise IOError(f"no classes in {yml}")  # ERROR_OPEN_FILE_FAILED
+        self.bank = pack_bank(classes, levels=det_cfg.pyramid_levels,
+                              capacity=self.cfg.detector.max_templates,
+                              max_features=det_cfg.max_features)
+        self._load_model_depths(classes)
+
+    def _load_model_depths(self, classes) -> None:
+        """Pre-crop each template's model depth to the static refine
+        window, converted to u16 mm (x model_depth_scale)."""
+        n = self.bank.capacity
+        crop = self.cfg.refine_crop
+        out = np.zeros((n, crop, crop), np.uint16)
+        slot = 0
+        for cname in sorted(classes.keys()):
+            for tid, view in enumerate(classes[cname]):
+                path = os.path.join(self._feature_path, "depth",
+                                    f"{tid}.png")
+                img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    slot += 1
+                    continue
+                mm = (img.astype(np.float32)
+                      * self.cfg.model_depth_scale)
+                # convertTo(CV_16UC1, 0.1) rounds half away from zero? cv
+                # uses cvRound (half-to-even); match it:
+                mm16 = np.rint(mm).astype(np.uint16)
+                x0, y0 = view.offset_x[0], view.offset_y[0]
+                h, w = mm16.shape
+                x0 = min(max(x0, 0), max(w - crop, 0))
+                y0 = min(max(y0, 0), max(h - crop, 0))
+                win = mm16[y0:y0 + crop, x0:x0 + crop]
+                out[slot, :win.shape[0], :win.shape[1]] = win
+                # remember the crop origin actually used
+                self._depth_origin[slot] = (x0, y0)
+                slot += 1
+        self._model_depth = out
+
+    def set_roi(self, roi_mask: np.ndarray) -> None:
+        """SetROI is a stub in the reference (obj_reco_lmicp.cpp:81-84)."""
+
+    def recognition(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
+                    cam: CamIntrinsics) -> List[RecoResult]:
+        """Full Recognition (obj_reco_lmicp.cpp:86-204): resize to the
+        processing width, match, take the top match, ICP-refine its pose."""
+        if self.bank is None:
+            raise RuntimeError("add_obj not called")
+        d = self.cfg.detector
+        if (rgb_bgr.shape[0] != cam.height or rgb_bgr.shape[1] != cam.width
+                or depth_u16.shape != (cam.height, cam.width)):
+            raise ValueError("image size must match camera intrinsics")
+
+        zoom = d.image_width / cam.width
+        w = d.image_width
+        h = cam.height * d.image_width // cam.width
+        if zoom != 1.0:
+            rgb_bgr = cv2.resize(rgb_bgr, (w, h))
+            depth_u16 = cv2.resize(depth_u16, (w, h),
+                                   interpolation=cv2.INTER_NEAREST)
+        fx, fy, cx, cy = gd.scale_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy,
+                                             zoom)
+        scene_k = gd.intrinsics_matrix(fx, fy, cx, cy)
+
+        matches = det_mod.match_bank_jit(
+            self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
+            float(self.cfg.matching_threshold), d)
+        valid = np.asarray(matches.valid)
+        if not valid.any():
+            return []
+        top = int(np.argmax(valid))          # first valid = best
+        slot = int(np.asarray(matches.template_slot)[top])
+        mx = int(np.asarray(matches.x)[top])
+        my = int(np.asarray(matches.y)[top])
+        sim = float(np.asarray(matches.similarity)[top])
+        cls = self.bank.class_names[int(np.asarray(matches.class_idx)[top])]
+
+        pose13 = np.asarray(self.bank.pose)[slot]
+        r_match, t_match, _ = tf.pose_from_13floats(jnp.asarray(pose13))
+        rect_w = int(np.asarray(self.bank.width)[slot, 0])
+        rect_h = int(np.asarray(self.bank.height)[slot, 0])
+        off_x = int(np.asarray(self.bank.offset_x)[slot, 0])
+        off_y = int(np.asarray(self.bank.offset_y)[slot, 0])
+        dx0, dy0 = self._depth_origin.get(slot, (off_x, off_y))
+
+        # The model depth was pre-cropped at (dx0, dy0); shifting the
+        # principal point keeps absolute-pixel unprojection exact.
+        template_k = gd.intrinsics_matrix(
+            self.cfg.template_fx, self.cfg.template_fy,
+            self.cfg.template_cx - dx0, self.cfg.template_cy - dy0)
+
+        res = pipeline.refine_match_jit(
+            jnp.asarray(depth_u16), scene_k,
+            jnp.asarray(self._model_depth[slot]), template_k,
+            rect_w, rect_h,
+            off_x - dx0, off_y - dy0, mx, my,
+            r_match, t_match, self.cfg,
+            crop_h=self.cfg.refine_crop, crop_w=self.cfg.refine_crop)
+
+        pose = np.asarray(tf.pose_matrix_4x4(res.r, res.t))
+        return [RecoResult(obj_tag=cls, world2cam=pose, similarity=sim,
+                           icp_dist=float(np.asarray(res.icp.dist_mean)),
+                           inlier_ratio=float(np.asarray(res.icp.inlier_ratio)))]

@@ -69,7 +69,8 @@ def kabsch(model: jax.Array, ref: jax.Array, mask: jax.Array):
     m_centroid = masked_mean(model, mask)
     r_centroid = masked_mean(ref, mask)
     w = mask.astype(model.dtype)[:, None]
-    cov = (model * w).T @ (ref * w)
+    cov = jnp.matmul((model * w).T, ref * w,
+                     precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(cov)
     r_opt = vt.T @ u.T
     t_opt = r_centroid - r_opt @ m_centroid

@@ -1,0 +1,141 @@
+"""Point-sharded ICP: distributed 3x3 covariance/centroid reductions.
+
+The SP/CP-analog of SURVEY.md §2.6: for large point clouds, the paired
+model/ref clouds shard across the mesh's ``p`` axis; every ICP iteration
+computes per-shard partial sums (correspondence counts, centroids, the
+3x3 covariance) that reduce with ``psum``; the tiny SVD solve replicates.
+Brute-force NN searches the FULL ref cloud per query shard: each shard
+holds its query slice and the whole ref (replicated), so no ppermute ring
+is needed at these sizes (ref clouds are <= a few hundred KB).
+
+Numeric semantics identical to fealess_tpu.icp (which documents the
+reference parity rules).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fealess_tpu import config as cfg
+from fealess_tpu import icp as icp_mod
+from fealess_tpu.icp import IcpResult
+
+
+def icp_sharded(ref: jax.Array, model: jax.Array, pair_mask: jax.Array,
+                icp: cfg.IcpConfig, mesh: Mesh, axis: str = "p") -> IcpResult:
+    """Point-sharded ICP.  ``ref``/``model``/``pair_mask`` are (P, 3)/(P,)
+    index-paired padded clouds; P must divide by the mesh axis size.
+
+    All shards run the same while_loop in lockstep (the loop state is
+    replicated scalars + the local model shard); cross-shard state reduces
+    with psum each iteration.
+    """
+    fmax = jnp.float32(jnp.finfo(jnp.float32).max)
+    hi = jax.lax.Precision.HIGHEST
+
+    def psum(x):
+        return jax.lax.psum(x, axis)
+
+    def pair_stats(model_s, ref_s, mask_s, dist_thr):
+        valid = (mask_s & (ref_s[:, 2] <= icp_mod.VALID_Z_MAX)
+                 & (model_s[:, 2] <= icp_mod.VALID_Z_MAX))
+        dist = jnp.linalg.norm(model_s - ref_s, axis=1)
+        inlier = valid & (dist <= dist_thr)
+        n_inlier = psum(jnp.sum(inlier))
+        n_valid = psum(jnp.sum(valid))
+        dist_sum = psum(jnp.sum(jnp.where(inlier, dist, 0.0)))
+        dist_mean = jnp.where(n_valid > 0,
+                              dist_sum / n_inlier.astype(jnp.float32), fmax)
+        ratio = jnp.where(n_valid > 0,
+                          n_inlier.astype(jnp.float32)
+                          / n_valid.astype(jnp.float32), 0.0)
+        return dist_mean, ratio
+
+    def local_fn(ref_s, model_s, mask_s, ref_full):
+        n_pairs = psum(jnp.sum(mask_s))
+        ok = n_pairs >= icp.min_points
+        dist_mean0, ratio0 = pair_stats(model_s, ref_s, mask_s, fmax)
+
+        def cond(state):
+            it, _, _, _, dist_mean, dist_diff, _ = state
+            return ((dist_mean > icp.dist_mean_threshold)
+                    & (dist_diff > icp.dist_diff_threshold)
+                    & (it < icp.max_iterations))
+
+        def body(state):
+            it, r_acc, t_acc, model_tmp, dist_mean, dist_diff, ratio = state
+            it = it + 1
+
+            def identity_corr():
+                return ref_s, mask_s
+
+            def nn_corr():
+                idx, d2 = icp_mod.nearest_neighbor(model_tmp, ref_full)
+                gate = 3.0 * dist_mean
+                if not icp.squared_distance_gate:
+                    gate = gate * gate
+                keep = mask_s & (d2 <= gate)
+                return ref_full[idx], keep
+
+            cor_ref, cor_mask = jax.lax.cond(it == 1, identity_corr, nn_corr)
+            n_cor = psum(jnp.sum(cor_mask))
+            enough = n_cor >= icp.min_points
+
+            w = cor_mask.astype(jnp.float32)[:, None]
+            count = jnp.maximum(n_cor.astype(jnp.float32), 1.0)
+            m_centroid = psum(jnp.sum(model_tmp * w, axis=0)) / count
+            r_centroid = psum(jnp.sum(cor_ref * w, axis=0)) / count
+            if icp.centered_covariance:
+                cov = psum(jnp.matmul(((model_tmp - m_centroid) * w).T,
+                                      (cor_ref - r_centroid) * w,
+                                      precision=hi))
+            else:
+                cov = psum(jnp.matmul((model_tmp * w).T, cor_ref * w,
+                                      precision=hi))
+            u, _, vt = jnp.linalg.svd(cov)
+            r_opt = vt.T @ u.T
+            t_opt = r_centroid - r_opt @ m_centroid
+            finite = jnp.all(jnp.isfinite(r_opt)) & jnp.all(jnp.isfinite(t_opt))
+            do_update = enough & finite
+            r_opt = jnp.where(do_update, r_opt, jnp.eye(3))
+            t_opt = jnp.where(do_update, t_opt, jnp.zeros(3))
+
+            new_model = model_tmp @ r_opt.T + t_opt
+            thr = 3.0 * dist_mean
+            new_dist, new_ratio = pair_stats(new_model, ref_s, mask_s, thr)
+            new_diff = dist_mean - new_dist
+
+            model_tmp = jnp.where(do_update, new_model, model_tmp)
+            dist_diff = jnp.where(do_update, new_diff, dist_diff)
+            dist_mean = jnp.where(do_update, new_dist, dist_mean)
+            ratio = jnp.where(do_update, new_ratio, ratio)
+            t_acc = jnp.where(do_update, r_opt @ t_acc + t_opt, t_acc)
+            r_acc = jnp.where(do_update, r_opt @ r_acc, r_acc)
+            it = jnp.where(enough, it, icp.max_iterations)
+            return it, r_acc, t_acc, model_tmp, dist_mean, dist_diff, ratio
+
+        init = (jnp.int32(0), jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32), model_s, dist_mean0, fmax, ratio0)
+        state = jax.lax.while_loop(
+            cond, body,
+            jax.lax.cond(ok, lambda: init,
+                         lambda: (jnp.int32(icp.max_iterations),) + init[1:]))
+        it, r_acc, t_acc, _, dist_mean, _, ratio = state
+        return IcpResult(
+            r=jnp.where(ok, r_acc, jnp.eye(3)),
+            t=jnp.where(ok, t_acc, jnp.zeros(3)),
+            dist_mean=jnp.where(ok, dist_mean, -1.0),
+            inlier_ratio=ratio, iterations=it, ok=ok)
+
+    out_specs = IcpResult(r=P(), t=P(), dist_mean=P(), inlier_ratio=P(),
+                          iterations=P(), ok=P())
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P()),
+                   out_specs=out_specs, check_rep=False)
+    return fn(ref, model, pair_mask, ref)

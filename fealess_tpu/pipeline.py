@@ -1,0 +1,130 @@
+"""Detection refinement glue: match rect -> paired clouds -> ICP -> pose.
+
+Reimplements ``detection()`` (ICP/detection.cpp:11-254) as a jittable
+function over fixed-size crops:
+
+- the model-template depth and the scene depth are back-projected with
+  their own intrinsics (template uses the hardcoded K = [608,0,320;
+  0,608,240;0,0,1], initInternalMat, ICP/common.cpp:326-372; the scene
+  uses the camera K), in metres, then scaled x1000 to mm
+  (detection.cpp:29-40);
+- equal-size rects are cropped from both (template rect at its stored
+  offset, scene rect at the match position, obj_reco_lmicp.cpp:127-133);
+- points are index-paired and valid only where BOTH have z <= 900mm
+  (matToVec paired variant, ICP/common.cpp:380-405);
+- translation init mode 2 (the active ``test_id``, detection.cpp:147-199):
+  ``t_tmp = centroid(ref) - centroid(model)``, ``t_init = t_tmp + t_match``,
+  model points shifted by ``t_tmp``;
+- ICP (fealess_tpu.icp) then final composition ``T = R t_init + T_icp``,
+  ``R = R_icp r_match`` (detection.cpp:232-234).
+
+Crops are static ``(crop_h, crop_w)`` windows (config) masked to the true
+rect size, so the whole path jits once for any template.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fealess_tpu import config as cfg
+from fealess_tpu import icp as icp_mod
+from fealess_tpu.geometry import depth as gd
+
+
+@struct.dataclass
+class RefineResult:
+    r: Any                # (3, 3) final rotation (world2cam)
+    t: Any                # (3,) final translation, mm
+    icp: icp_mod.IcpResult
+    n_pairs: Any          # valid paired points fed to ICP
+
+
+def _crop_points_mm(depth_u16: jax.Array, k: jax.Array,
+                    x0, y0, crop_h: int, crop_w: int) -> jax.Array:
+    """Back-project a (crop_h, crop_w) window at (x0, y0) to mm points.
+
+    Equivalent to depthTo3d on the full image followed by rect cropping
+    (detection.cpp:29-43) — unprojection uses absolute pixel coords.
+    """
+    h, w = depth_u16.shape
+    x0c = jnp.clip(x0, 0, w - crop_w)
+    y0c = jnp.clip(y0, 0, h - crop_h)
+    window = jax.lax.dynamic_slice(depth_u16, (y0c, x0c), (crop_h, crop_w))
+    z = jnp.where(window == 0, jnp.nan,
+                  window.astype(jnp.float32) / 1000.0)
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    u = (x0c + jnp.arange(crop_w, dtype=jnp.int32)).astype(jnp.float32)[None, :]
+    v = (y0c + jnp.arange(crop_h, dtype=jnp.int32)).astype(jnp.float32)[:, None]
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    return jnp.stack([x, y, z], axis=-1) * 1000.0
+
+
+def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
+                 model_depth_u16: jax.Array, template_k: jax.Array,
+                 rect_w, rect_h,
+                 model_x0, model_y0, match_x, match_y,
+                 r_match: jax.Array, t_match: jax.Array,
+                 engine: cfg.EngineConfig,
+                 crop_h: int = 256, crop_w: int = 256) -> RefineResult:
+    """Jittable detection() equivalent for one match.
+
+    ``model_depth_u16`` is the template's depth image ALREADY converted to
+    u16 mm (the reference multiplies the stored 0.1mm png by 0.1 into
+    CV_16UC1, obj_reco_lmicp.cpp:185-188).  ``model_x0/model_y0`` is the
+    template rect origin (offset_x/offset_y); ``match_x/match_y`` the
+    scene rect origin; both rects are ``rect_w x rect_h``.
+    """
+    model_pts = _crop_points_mm(model_depth_u16, template_k,
+                                model_x0, model_y0, crop_h, crop_w)
+    ref_pts = _crop_points_mm(scene_depth_u16, scene_k,
+                              match_x, match_y, crop_h, crop_w)
+
+    uu = jnp.arange(crop_w)[None, :]
+    vv = jnp.arange(crop_h)[:, None]
+    in_rect = (uu < rect_w) & (vv < rect_h)
+    z_ok = ((model_pts[..., 2] <= icp_mod.VALID_Z_MAX)
+            & (ref_pts[..., 2] <= icp_mod.VALID_Z_MAX))   # NaN -> False
+    pair_mask = (in_rect & z_ok).reshape(-1)
+
+    model_flat = model_pts.reshape(-1, 3)
+    ref_flat = ref_pts.reshape(-1, 3)
+    pad = jnp.float32(icp_mod.PAD_COORD)
+    model_flat = jnp.where(pair_mask[:, None], model_flat, pad)
+    ref_flat = jnp.where(pair_mask[:, None], ref_flat, pad)
+
+    # Translation init, mode test_id=2 (detection.cpp:147-199).
+    def mmean(pts):
+        w = pair_mask.astype(jnp.float32)[:, None]
+        return (jnp.sum(jnp.where(pair_mask[:, None], pts, 0.0) * 1.0, axis=0)
+                / jnp.maximum(jnp.sum(w), 1.0))
+
+    m_centroid = mmean(model_flat)
+    r_centroid = mmean(ref_flat)
+    t_tmp = r_centroid - m_centroid
+    t_init = t_tmp + t_match
+    model_flat = jnp.where(pair_mask[:, None], model_flat + t_tmp, model_flat)
+
+    result = icp_mod.icp_point_to_point(ref_flat, model_flat, pair_mask,
+                                        engine.icp)
+    t_final = result.r @ t_init + result.t
+    r_final = result.r @ r_match
+    return RefineResult(r=r_final, t=t_final, icp=result,
+                        n_pairs=jnp.sum(pair_mask))
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
+def refine_match_jit(scene_depth_u16, scene_k, model_depth_u16, template_k,
+                     rect_w, rect_h, model_x0, model_y0, match_x, match_y,
+                     r_match, t_match, engine: cfg.EngineConfig,
+                     crop_h: int = 256, crop_w: int = 256) -> RefineResult:
+    return refine_match(scene_depth_u16, scene_k, model_depth_u16,
+                        template_k, rect_w, rect_h, model_x0, model_y0,
+                        match_x, match_y, r_match, t_match, engine,
+                        crop_h, crop_w)

@@ -1,0 +1,226 @@
+"""Template extraction (the offline training path).
+
+Reimplements ``Detector::addTemplate`` (linemod/linemod.cpp:1579-1615):
+quantize each modality, extract candidate features per pyramid level, pick
+scattered features greedily, crop all templates of the view to a common
+bounding box.  Quantization runs through the jitted TPU front-end
+(fealess_tpu.ops.quantize); candidate scoring/greedy selection are
+inherently sequential (selectScatteredFeatures, linemod.cpp:135-164) and
+run host-side in NumPy — this is the offline path, executed once per
+training view.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from fealess_tpu import config as cfg
+from fealess_tpu.bank import TemplateView
+from fealess_tpu.ops import image as fi
+from fealess_tpu.ops import quantize as q
+
+
+def _get_label(bitmask: int) -> int:
+    """1 << k -> k (linemod.cpp:15-30)."""
+    lut = {1: 0, 2: 1, 4: 2, 8: 3, 16: 4, 32: 5, 64: 6, 128: 7}
+    return lut[int(bitmask)]
+
+
+def select_scattered_features(candidates: np.ndarray, scores: np.ndarray,
+                              num_features: int, distance: float) -> np.ndarray:
+    """Greedy scattered-feature selection (linemod.cpp:135-164).
+
+    ``candidates`` is (K, 3) int (x, y, label) already stable-sorted by
+    descending score; returns (num_features, 3).
+    """
+    feats: List[np.ndarray] = []
+    distance_sq = distance * distance
+    i = 0
+    k = len(candidates)
+    while len(feats) < num_features:
+        c = candidates[i]
+        keep = True
+        for f in feats:
+            dx = int(c[0]) - int(f[0])
+            dy = int(c[1]) - int(f[1])
+            if dx * dx + dy * dy < distance_sq:
+                keep = False
+                break
+        if keep:
+            feats.append(c)
+        i += 1
+        if i == k:
+            i = 0
+            distance -= 1.0
+            distance_sq = distance * distance
+    return np.stack(feats).astype(np.int32)
+
+
+def _stable_sort_desc(scores: np.ndarray) -> np.ndarray:
+    """Indices of a stable descending sort (std::stable_sort with
+    score > rhs.score, linemod.hpp:98-101)."""
+    return np.argsort(-scores, kind="stable")
+
+
+def extract_gradient_template(angle_bits: np.ndarray, magnitude: np.ndarray,
+                              mask: Optional[np.ndarray],
+                              num_features: int,
+                              strong_threshold: float) -> Optional[np.ndarray]:
+    """ColorGradientPyramid::extractTemplate (linemod.cpp:461-513).
+
+    Candidate = border pixel (mask minus its erosion) with a quantized
+    orientation and squared magnitude above strong_threshold^2; greedy
+    scattered selection with initial distance |candidates|/nf + 1.
+    Returns (nf, 3) int32 or None if too few candidates.
+    """
+    if mask is not None:
+        eroded = np.asarray(fi.erode3_bool(mask.astype(bool)))
+        local_mask = mask.astype(bool) & ~eroded
+    else:
+        local_mask = np.ones_like(angle_bits, bool)
+
+    thr_sq = strong_threshold * strong_threshold
+    sel = local_mask & (angle_bits > 0) & (magnitude > thr_sq)
+    ys, xs = np.nonzero(sel)
+    if len(ys) < num_features:
+        return None
+    labels = np.array([_get_label(b) for b in angle_bits[ys, xs]], np.int32)
+    scores = magnitude[ys, xs]
+    order = _stable_sort_desc(scores)
+    cand = np.stack([xs[order], ys[order], labels[order]], axis=-1)
+    distance = float(len(cand) // num_features + 1)
+    return select_scattered_features(cand, scores[order], num_features,
+                                     distance)
+
+
+def extract_normal_template(normal_bits: np.ndarray,
+                            mask: Optional[np.ndarray],
+                            num_features: int,
+                            extract_threshold: int) -> Optional[np.ndarray]:
+    """DepthNormalPyramid::extractTemplate (linemod.cpp:747-825).
+
+    Per-label chessboard distance transforms + per-label count balancing,
+    then greedy scattered selection with distance sqrt(area)/sqrt(nf)+1.5.
+    """
+    if mask is not None:
+        local_mask = np.asarray(fi.erode3_bool(mask.astype(bool),
+                                               iterations=2))
+    else:
+        local_mask = None
+
+    no_mask = local_mask is None
+    h, w = normal_bits.shape
+    distances = np.zeros((8, h, w), np.float32)
+    for i in range(8):
+        if no_mask:
+            has_label = (normal_bits & (1 << i)) != 0
+        else:
+            has_label = local_mask & ((normal_bits & (1 << i)) != 0)
+        distances[i] = fi.distance_transform_chessboard(has_label)
+
+    sel_mask = np.ones((h, w), bool) if no_mask else local_mask
+    ok = sel_mask & (normal_bits != 0) & (normal_bits != 255)
+    ys, xs = np.nonzero(ok)
+    labels = np.array([_get_label(b) for b in normal_bits[ys, xs]], np.int32)
+    scores = distances[labels, ys, xs]
+    keep = scores >= extract_threshold
+    ys, xs, labels, scores = ys[keep], xs[keep], labels[keep], scores[keep]
+    if len(ys) < num_features:
+        return None
+    label_counts = np.bincount(labels, minlength=8).astype(np.float32)
+    scores = scores / label_counts[labels]
+    order = _stable_sort_desc(scores)
+    cand = np.stack([xs[order], ys[order], labels[order]], axis=-1)
+    area = float(h * w) if no_mask else float(local_mask.sum())
+    distance = float(np.sqrt(area) / np.sqrt(float(num_features)) + 1.5)
+    return select_scattered_features(cand, scores[order], num_features,
+                                     distance)
+
+
+def crop_template_view(features: List[List[np.ndarray]]):
+    """cropTemplates (linemod.cpp:52-96): common bbox over all levels and
+    modalities (coords scaled by 2^level), even-aligned origin; shifts
+    features in place.  Returns (width, height, offset_x, offset_y) lists
+    per level plus the level-0 bounding box rect."""
+    min_x = min_y = np.iinfo(np.int32).max
+    max_x = max_y = np.iinfo(np.int32).min
+    for l, mods in enumerate(features):
+        for feats in mods:
+            if len(feats) == 0:
+                continue
+            xs = feats[:, 0].astype(np.int64) << l
+            ys = feats[:, 1].astype(np.int64) << l
+            min_x = min(min_x, int(xs.min()))
+            min_y = min(min_y, int(ys.min()))
+            max_x = max(max_x, int(xs.max()))
+            max_y = max(max_y, int(ys.max()))
+    if min_x % 2 == 1:
+        min_x -= 1
+    if min_y % 2 == 1:
+        min_y -= 1
+
+    levels = len(features)
+    width = [(max_x - min_x) >> l for l in range(levels)]
+    height = [(max_y - min_y) >> l for l in range(levels)]
+    off_x = [min_x >> l for l in range(levels)]
+    off_y = [min_y >> l for l in range(levels)]
+    for l, mods in enumerate(features):
+        for feats in mods:
+            feats[:, 0] -= off_x[l]
+            feats[:, 1] -= off_y[l]
+    return width, height, off_x, off_y, (min_x, min_y, max_x - min_x,
+                                         max_y - min_y)
+
+
+def add_template(bgr: np.ndarray, depth_mm: np.ndarray,
+                 mask: Optional[np.ndarray], pose_13: np.ndarray,
+                 det: cfg.DetectorConfig) -> Optional[TemplateView]:
+    """Full addTemplate for one view: returns a TemplateView or None if any
+    level/modality fails to yield enough features (linemod.cpp:1599-1605).
+
+    Per-level parameter halving: num_features and extract_threshold are
+    integer-halved each pyrDown (linemod.cpp:434-452, 721-739).  The
+    ColorGradient modality re-quantizes a pyrDown'd image; DepthNormal
+    NN-downsamples its level-0 quantized image.
+    """
+    cg, dn = det.color_gradient, det.depth_normal
+    levels = det.pyramid_levels
+
+    features: List[List[np.ndarray]] = []
+    src = np.asarray(bgr)
+    msk = None if mask is None else np.asarray(mask).astype(bool)
+    normal0 = np.asarray(q.quantize_normals(
+        depth_mm.astype(np.uint16), dn.distance_threshold,
+        dn.difference_threshold))
+
+    cg_nf, dn_nf = cg.num_features, dn.num_features
+    dn_extract = dn.extract_threshold
+    normal = normal0
+    for l in range(levels):
+        if l > 0:
+            src = np.asarray(fi.pyr_down_u8(src))
+            normal = normal[::2, ::2]
+            if msk is not None:
+                msk = msk[::2, ::2]
+            cg_nf //= 2
+            dn_nf //= 2
+            dn_extract //= 2
+
+        angle_bits, magnitude = q.quantize_gradients(src, cg.weak_threshold)
+        cg_feats = extract_gradient_template(
+            np.asarray(angle_bits), np.asarray(magnitude), msk, cg_nf,
+            cg.strong_threshold)
+        if cg_feats is None:
+            return None
+        dn_feats = extract_normal_template(normal, msk, dn_nf, dn_extract)
+        if dn_feats is None:
+            return None
+        features.append([cg_feats, dn_feats])
+
+    width, height, off_x, off_y, _ = crop_template_view(features)
+    return TemplateView(features=features, width=width, height=height,
+                        offset_x=off_x, offset_y=off_y,
+                        pose=np.asarray(pose_13, np.float32))

@@ -11,20 +11,32 @@ import time (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env may preset JAX_PLATFORMS to the TPU backend,
+# where f32 matmuls default to bf16 MXU passes — tests must be exact.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# A pytest plugin (jaxtyping) imports jax BEFORE this conftest, freezing
+# jax_platforms from the pre-existing env; override the live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 REFERENCE_DIR = "/root/reference"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator per test — results must not depend on
+    test execution order."""
     return np.random.default_rng(0)
 
 

@@ -1,0 +1,102 @@
+"""Engine integration test: train -> save reference-schema artifacts ->
+add_obj -> recognition -> pose (the full CObjRecoLmICP loop on a synthetic
+scene, SURVEY.md §3.2)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from fealess_tpu import config as cfg
+from fealess_tpu import training
+from fealess_tpu.engine import CamIntrinsics, ObjReco
+from fealess_tpu.io import linemod_yaml
+from tests.test_match_e2e import H, W, make_scene
+
+FX = FY = 608.0
+CX, CY = W / 2.0, H / 2.0
+
+
+@pytest.fixture(scope="module")
+def feature_dir(tmp_path_factory):
+    """Train on the synthetic view and write the reference artifact layout:
+    linemod_templates.yml + depth/0.png (0.1mm units)."""
+    rng = np.random.default_rng(7)
+    bgr, depth, mask = make_scene(rng)
+    det_cfg = cfg.DetectorConfig(image_width=W, image_height=H,
+                                 max_candidates=16)
+    pose = np.zeros(13, np.float32)
+    pose[0] = pose[5] = pose[10] = 1.0         # R = I, t = 0
+    pose[12] = 650.0                           # view distance
+    view = training.add_template(bgr, depth, mask, pose, det_cfg)
+    assert view is not None
+
+    d = tmp_path_factory.mktemp("features")
+    linemod_yaml.save_linemod(str(d / "linemod_templates.yml"), det_cfg,
+                              {"obj": [view]})
+    os.makedirs(d / "depth", exist_ok=True)
+    cv2.imwrite(str(d / "depth" / "0.png"),
+                (depth.astype(np.uint32) * 10).astype(np.uint16))
+    return str(d), (bgr, depth, mask), view
+
+
+def _engine(feature_dir):
+    path, _, _ = feature_dir
+    ecfg = cfg.EngineConfig(
+        detector=cfg.DetectorConfig(image_width=W, image_height=H,
+                                    max_candidates=16),
+        template_fx=FX, template_fy=FY, template_cx=CX, template_cy=CY,
+        refine_crop=128)
+    eng = ObjReco.create("LmICP", ecfg)
+    eng.add_obj(path)
+    return eng
+
+
+def test_recognition_on_training_frame(feature_dir):
+    """Scene == training frame, model depth == scene depth: the final pose
+    must equal the template pose (R=I, t=0): ICP starts aligned."""
+    eng = _engine(feature_dir)
+    _, (bgr, depth, _), _ = feature_dir
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    results = eng.recognition(bgr, depth, cam)
+    assert len(results) == 1
+    r = results[0]
+    assert r.obj_tag == "obj"
+    assert r.similarity >= 95.0
+    np.testing.assert_allclose(r.world2cam[:3, :3], np.eye(3), atol=0.05)
+    assert np.linalg.norm(r.world2cam[:3, 3]) < 10.0, r.world2cam
+    assert r.icp_dist < 0.5 or r.icp_dist >= 0    # converged
+
+
+def test_recognition_translated_scene(feature_dir):
+    """Scene shifted by (dx, dy) pixels: recovered translation must move by
+    the corresponding physical offset (z/fx per pixel)."""
+    eng = _engine(feature_dir)
+    _, (bgr, depth, mask), _ = feature_dir
+    dx, dy = 16, 8
+    bgr2 = np.roll(np.roll(bgr, dy, axis=0), dx, axis=1)
+    depth2 = np.roll(np.roll(depth, dy, axis=0), dx, axis=1)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    results = eng.recognition(bgr2, depth2, cam)
+    assert len(results) == 1
+    t = results[0].world2cam[:3, 3]
+    z = float(depth[mask].mean())
+    expect = np.array([dx * z / FX, dy * z / FY, 0.0])
+    # matching quantizes position to T=5 px -> allow generous slack (mm)
+    assert abs(t[0] - expect[0]) < 12.0, (t, expect)
+    assert abs(t[1] - expect[1]) < 12.0, (t, expect)
+    assert abs(t[2]) < 15.0, t
+
+
+def test_recognition_empty_scene(feature_dir):
+    eng = _engine(feature_dir)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    blank_bgr = np.full((H, W, 3), 40, np.uint8)
+    blank_depth = np.full((H, W), 1200, np.uint16)
+    assert eng.recognition(blank_bgr, blank_depth, cam) == []
+
+
+def test_engine_rejects_unknown_algorithm():
+    with pytest.raises(NotImplementedError):
+        ObjReco.create("BB8")

@@ -34,7 +34,7 @@ def _parse_reference_normal_lut():
     path = os.path.join(REFERENCE_DIR, "linemod", "normal_lut.i")
     with open(path, "r", errors="replace") as f:
         src = f.read()
-    g = int(re.search(r"GRANULARITY\s+(\d+)", src).group(1))
+    g = int(re.search(r"GRANULARITY\s*=\s*(\d+)", src).group(1))
     vals = [int(v) for v in re.findall(r"\b\d+\b",
                                        src[src.index("= {"):])]
     arr = np.array([v for v in vals if True], dtype=np.int64)

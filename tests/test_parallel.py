@@ -1,0 +1,83 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4d).
+
+Template-sharded matching and point-sharded ICP must produce the same
+results as their single-device counterparts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fealess_tpu import config as cfg
+from fealess_tpu import detector, icp as icp_mod, training
+from fealess_tpu.bank import pack_bank
+from fealess_tpu.parallel import mesh as mesh_mod
+from fealess_tpu.parallel import sharded_icp, sharded_match
+from tests.test_match_e2e import H, W, make_scene
+
+
+@pytest.fixture(scope="module")
+def det_cfg():
+    return cfg.DetectorConfig(image_width=W, image_height=H,
+                              max_candidates=8)
+
+
+@pytest.fixture(scope="module")
+def scene_and_bank(det_cfg):
+    rng = np.random.default_rng(7)
+    bgr, depth, mask = make_scene(rng)
+    pose = np.arange(13, dtype=np.float32)
+    view = training.add_template(bgr, depth, mask, pose, det_cfg)
+    assert view is not None
+    # capacity 8 -> one slot per device on the 8-device mesh
+    bank = pack_bank({"obj": [view]}, levels=det_cfg.pyramid_levels,
+                     capacity=8)
+    return (bgr, depth), bank
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_match_equals_local(scene_and_bank, det_cfg):
+    (bgr, depth), bank = scene_and_bank
+    local = detector.match_bank(bank, jnp.asarray(bgr), jnp.asarray(depth),
+                                75.0, det_cfg)
+    m = mesh_mod.template_mesh()
+    sharded = sharded_match.match_bank_sharded(
+        bank, jnp.asarray(bgr), jnp.asarray(depth), 75.0, det_cfg, m)
+    lv = np.asarray(local.valid)
+    sv = np.asarray(sharded.valid)
+    assert sv.any()
+    # top match identical
+    lt, st = int(np.argmax(lv)), int(np.argmax(sv))
+    assert np.asarray(local.x)[lt] == np.asarray(sharded.x)[st]
+    assert np.asarray(local.y)[lt] == np.asarray(sharded.y)[st]
+    assert np.asarray(local.similarity)[lt] == np.asarray(sharded.similarity)[st]
+    assert np.asarray(local.template_slot)[lt] == \
+        np.asarray(sharded.template_slot)[st]
+
+
+def test_sharded_icp_equals_local(rng):
+    pts = rng.normal(size=(500, 3)).astype(np.float32) * [50, 40, 10]
+    pts[:, 2] += 600
+    r = np.array([[0.999, -0.035, 0.0], [0.035, 0.999, 0.0], [0, 0, 1.0]],
+                 np.float32)
+    model = pts @ r + np.array([5.0, -3.0, 2.0], np.float32)
+    padded_r, mask = icp_mod.pad_cloud(pts, np.ones(len(pts), bool), 1024)
+    padded_m, _ = icp_mod.pad_cloud(model, np.ones(len(model), bool), 1024)
+    ic = cfg.IcpConfig(max_iterations=15)
+
+    local = icp_mod.icp_point_to_point(jnp.asarray(padded_r),
+                                       jnp.asarray(padded_m),
+                                       jnp.asarray(mask), ic)
+    m = mesh_mod.make_mesh([("p", 8)])
+    dist = sharded_icp.icp_sharded(jnp.asarray(padded_r),
+                                   jnp.asarray(padded_m),
+                                   jnp.asarray(mask), ic, m)
+    np.testing.assert_allclose(np.asarray(dist.r), np.asarray(local.r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist.t), np.asarray(local.t),
+                               atol=1e-3)
+    assert int(dist.iterations) == int(local.iterations)

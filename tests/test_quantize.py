@@ -96,8 +96,8 @@ def scene_bgr(rng):
     h, w = 48, 64
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = (128 + 80 * np.sin(xx / 7.0) * np.cos(yy / 9.0))
-    img = np.stack([base, np.roll(base, 3, axis=1), base.T[:h, :w][::-1]],
-                   axis=-1)
+    img = np.stack([base, np.roll(base, 3, axis=1),
+                    np.roll(base[::-1], 7, axis=0)], axis=-1)
     img += rng.normal(0, 6, size=img.shape)
     return np.clip(img, 0, 255).astype(np.uint8)
 

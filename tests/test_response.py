@@ -10,8 +10,8 @@ from fealess_tpu.ops import luts, response, similarity
 
 @pytest.fixture
 def quant_img(rng):
-    img = (1 << rng.integers(0, 8, size=(40, 64))).astype(np.uint8)
-    img[rng.random((40, 64)) < 0.4] = 0
+    img = (1 << rng.integers(0, 8, size=(40, 80))).astype(np.uint8)
+    img[rng.random((40, 80)) < 0.4] = 0
     return img
 
 
