@@ -65,30 +65,18 @@ def pad_cloud(points, mask, capacity: int):
     return out, m
 
 
-def nearest_neighbor(query: jax.Array, ref: jax.Array,
-                     block: int = 512):
+def nearest_neighbor(query: jax.Array, ref: jax.Array):
     """Index and squared distance of the nearest ``ref`` row per ``query``
-    row, blockwise on the MXU.  Padded rows (PAD_COORD) are self-excluding
-    on the ref side and harmless on the query side.
+    row.  On TPU this is the fused Pallas tile kernel (the (Nq, Nr)
+    distance matrix never leaves VMEM — fealess_tpu.ops.nn_pallas); on
+    other backends an XLA-fused blocked scan with identical math and
+    first-minimum tie-breaking.  Padded rows (PAD_COORD) are
+    self-excluding on the ref side and harmless on the query side.
     """
-    p = query.shape[0]
-    nblocks = -(-p // block)
-    pad = nblocks * block - p
-    qpad = jnp.pad(query, ((0, pad), (0, 0)), constant_values=PAD_COORD)
-    ref_sq = jnp.sum(ref * ref, axis=1)            # (M,)
-
-    def one_block(qb):
-        # |q - r|^2 = |q|^2 - 2 q.r + |r|^2.  HIGHEST precision: on TPU the
-        # default f32 matmul runs bf16 MXU passes, whose error flips argmin
-        # ties and (worse) corrupts the gate distances at mm scales.
-        cross = jnp.matmul(qb, ref.T, precision=jax.lax.Precision.HIGHEST)
-        d2 = (jnp.sum(qb * qb, axis=1)[:, None] - 2.0 * cross
-              + ref_sq[None, :])
-        idx = jnp.argmin(d2, axis=1)
-        return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
-
-    idx, d2 = jax.lax.map(one_block, qpad.reshape(nblocks, block, 3))
-    return idx.reshape(-1)[:p], d2.reshape(-1)[:p]
+    from fealess_tpu.ops import nn_pallas
+    if jax.default_backend() == "tpu":
+        return nn_pallas.nearest_neighbor_tiled(query, ref)
+    return nn_pallas._nn_xla_blocked(query, ref)
 
 
 def _masked_pair_stats(model, ref, pair_mask, dist_thr):

@@ -99,6 +99,20 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
     model_flat = jnp.where(pair_mask[:, None], model_flat, pad)
     ref_flat = jnp.where(pair_mask[:, None], ref_flat, pad)
 
+    # Compact valid pairs to the ICP point budget: the static crop is
+    # mostly padding (the reference feeds exactly the rect's valid pixels,
+    # detection.cpp:98-114), and NN cost is quadratic in cloud size.  A
+    # stable sort keeps pairs index-aligned and in raster order; when more
+    # than max_points pairs are valid the excess is dropped (documented
+    # divergence — the reference uses all rect points).
+    cap = engine.icp.max_points
+    if cap < pair_mask.shape[0]:
+        order = jnp.argsort(jnp.logical_not(pair_mask), stable=True)
+        take = order[:cap]
+        model_flat = model_flat[take]
+        ref_flat = ref_flat[take]
+        pair_mask = pair_mask[take]
+
     # Translation init, mode test_id=2 (detection.cpp:147-199).
     def mmean(pts):
         w = pair_mask.astype(jnp.float32)[:, None]
@@ -128,3 +142,75 @@ def refine_match_jit(scene_depth_u16, scene_k, model_depth_u16, template_k,
                         template_k, rect_w, rect_h, model_x0, model_y0,
                         match_x, match_y, r_match, t_match, engine,
                         crop_h, crop_w)
+
+
+@struct.dataclass
+class RecoStep:
+    """Device-side Recognition result (cf. TObjRecoResult, lotus_common.h:
+    95-100): pose as 4x4 world2cam plus the match/refine diagnostics."""
+    pose: Any           # (4, 4) f32
+    valid: Any          # bool — a match above threshold existed
+    similarity: Any
+    class_idx: Any
+    template_slot: Any
+    match_x: Any
+    match_y: Any
+    refine: RefineResult
+
+
+def recognize_top1(bank, model_depth_stack: jax.Array,
+                   depth_origins: jax.Array, bgr: jax.Array,
+                   scene_depth_u16: jax.Array, scene_k: jax.Array,
+                   engine: cfg.EngineConfig) -> RecoStep:
+    """The full Recognition step as ONE jittable function: match the whole
+    bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
+    gather its model depth/pose and ICP-refine — no host round trip
+    between stages, so frames pipeline through the device back-to-back
+    and the step can be vmapped over a frame batch or shard_mapped.
+
+    Args:
+      bank: packed TemplateBank.
+      model_depth_stack: (N, crop, crop) u16 mm — per-slot model depth,
+        pre-cropped at ``depth_origins`` (engine.ObjReco builds this).
+      depth_origins: (N, 2) int32 (x0, y0) crop origins.
+      bgr / scene_depth_u16: the frame at the processing resolution.
+      scene_k: (3, 3) zoomed intrinsics.
+    """
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu.geometry import transforms as tf
+
+    d = engine.detector
+    crop = model_depth_stack.shape[-1]
+    matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
+                                 engine.matching_threshold, d)
+    # Matches are sorted (similarity desc, template asc); slot 0 is the
+    # best candidate and `valid[0]` says whether any survived.
+    slot = matches.template_slot[0]
+    valid = matches.valid[0]
+    mx, my = matches.x[0], matches.y[0]
+
+    pose13 = bank.pose[slot]
+    r_match, t_match, _ = tf.pose_from_13floats(pose13)
+    rect_w = bank.width[slot, 0]
+    rect_h = bank.height[slot, 0]
+    off_x = bank.offset_x[slot, 0]
+    off_y = bank.offset_y[slot, 0]
+    dx0 = depth_origins[slot, 0]
+    dy0 = depth_origins[slot, 1]
+    template_k = jnp.asarray(
+        [[engine.template_fx, 0.0, 0.0],
+         [0.0, engine.template_fy, 0.0],
+         [0.0, 0.0, 1.0]], jnp.float32)
+    template_k = template_k.at[0, 2].set(engine.template_cx
+                                         - dx0.astype(jnp.float32))
+    template_k = template_k.at[1, 2].set(engine.template_cy
+                                         - dy0.astype(jnp.float32))
+
+    res = refine_match(scene_depth_u16, scene_k,
+                       model_depth_stack[slot], template_k,
+                       rect_w, rect_h, off_x - dx0, off_y - dy0, mx, my,
+                       r_match, t_match, engine, crop_h=crop, crop_w=crop)
+    pose = tf.pose_matrix_4x4(res.r, res.t)
+    return RecoStep(pose=pose, valid=valid, similarity=matches.similarity[0],
+                    class_idx=matches.class_idx[0], template_slot=slot,
+                    match_x=mx, match_y=my, refine=res)

@@ -100,3 +100,32 @@ def test_recognition_empty_scene(feature_dir):
 def test_engine_rejects_unknown_algorithm():
     with pytest.raises(NotImplementedError):
         ObjReco.create("BB8")
+
+
+def test_recognize_top1_fused_matches_host_path(feature_dir):
+    """The device-fused Recognition step (pipeline.recognize_top1) must
+    agree with the host-orchestrated ObjReco.recognition on the same
+    frame: same template, same pose (both run the identical match+refine
+    math; only the orchestration differs)."""
+    import jax
+    import jax.numpy as jnp
+    from fealess_tpu import pipeline
+
+    eng = _engine(feature_dir)
+    _, (bgr, depth, _), _ = feature_dir
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    host = eng.recognition(bgr, depth, cam)[0]
+
+    origins = np.zeros((eng.bank.capacity, 2), np.int32)
+    for slot, (x0, y0) in eng._depth_origin.items():
+        origins[slot] = (x0, y0)
+    scene_k = jnp.asarray([[FX, 0, CX], [0, FY, CY], [0, 0, 1]],
+                          jnp.float32)
+    fn = jax.jit(lambda *a: pipeline.recognize_top1(*a, eng.cfg))
+    step = fn(eng.bank, jnp.asarray(eng._model_depth),
+              jnp.asarray(origins), jnp.asarray(bgr), jnp.asarray(depth),
+              scene_k)
+    assert bool(step.valid)
+    np.testing.assert_allclose(np.asarray(step.pose), host.world2cam,
+                               rtol=1e-5, atol=1e-4)
+    assert float(step.similarity) == pytest.approx(host.similarity)

@@ -86,8 +86,7 @@ def test_icp_too_few_points():
 def test_nearest_neighbor_exact(rng):
     ref = rng.normal(size=(200, 3)).astype(np.float32)
     query = rng.normal(size=(150, 3)).astype(np.float32)
-    idx, d2 = icp_mod.nearest_neighbor(jnp.asarray(query), jnp.asarray(ref),
-                                       block=64)
+    idx, d2 = icp_mod.nearest_neighbor(jnp.asarray(query), jnp.asarray(ref))
     d_full = ((query[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
     # f32 |q|^2-2qr+|r|^2 may flip exact argmin on near-ties; require the
     # chosen neighbour's true distance to match the true minimum closely.
@@ -110,3 +109,18 @@ def test_icp_invalid_z_excluded(rng):
                                      jnp.asarray(m), cfg.IcpConfig())
     # identical valid pairs -> immediate convergence
     assert float(res.dist_mean) <= 0.5
+
+
+def test_nn_pallas_interpret_matches_xla(rng):
+    """The TPU tile kernel (interpret mode) vs the XLA path: identical
+    indices and distances, including first-minimum tie-breaking."""
+    from fealess_tpu.ops import nn_pallas
+    query = rng.normal(size=(300, 3)).astype(np.float32) * 50
+    ref = np.concatenate([query[:100], rng.normal(size=(400, 3))
+                          .astype(np.float32) * 50])  # exact dupes -> ties
+    qi = jnp.asarray(query)
+    ri = jnp.asarray(ref)
+    idx_p, d2_p = nn_pallas.nearest_neighbor_tiled(qi, ri, interpret=True)
+    idx_x, d2_x = nn_pallas._nn_xla_blocked(qi, ri)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_x), rtol=1e-6)
