@@ -19,6 +19,7 @@ import numpy as np
 
 from fealess_tpu import config as cfg
 from fealess_tpu.bank import TemplateView
+from fealess_tpu.io import native as native_host
 from fealess_tpu.ops import image as fi
 from fealess_tpu.ops import quantize as q
 
@@ -92,8 +93,8 @@ def extract_gradient_template(angle_bits: np.ndarray, magnitude: np.ndarray,
     order = _stable_sort_desc(scores)
     cand = np.stack([xs[order], ys[order], labels[order]], axis=-1)
     distance = float(len(cand) // num_features + 1)
-    return select_scattered_features(cand, scores[order], num_features,
-                                     distance)
+    return native_host.select_scattered_features(cand, num_features,
+                                                 distance)
 
 
 def extract_normal_template(normal_bits: np.ndarray,
@@ -119,7 +120,7 @@ def extract_normal_template(normal_bits: np.ndarray,
             has_label = (normal_bits & (1 << i)) != 0
         else:
             has_label = local_mask & ((normal_bits & (1 << i)) != 0)
-        distances[i] = fi.distance_transform_chessboard(has_label)
+        distances[i] = native_host.chamfer_chessboard(has_label)
 
     sel_mask = np.ones((h, w), bool) if no_mask else local_mask
     ok = sel_mask & (normal_bits != 0) & (normal_bits != 255)
@@ -136,8 +137,8 @@ def extract_normal_template(normal_bits: np.ndarray,
     cand = np.stack([xs[order], ys[order], labels[order]], axis=-1)
     area = float(h * w) if no_mask else float(local_mask.sum())
     distance = float(np.sqrt(area) / np.sqrt(float(num_features)) + 1.5)
-    return select_scattered_features(cand, scores[order], num_features,
-                                     distance)
+    return native_host.select_scattered_features(cand, num_features,
+                                                 distance)
 
 
 def crop_template_view(features: List[List[np.ndarray]]):
