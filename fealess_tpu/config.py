@@ -66,6 +66,8 @@ class IcpConfig:
     # "point_to_point" = Kabsch/SVD exactly as the reference (ICP.cpp:730-744);
     # "point_to_plane" = 6x6 Gauss-Newton normal equations (TPU perf path).
     mode: str = "point_to_point"
+    # Relative Tikhonov damping on the 6x6 GN system (point_to_plane only).
+    plane_damping: float = 1e-6
     # The reference accumulates the covariance WITHOUT subtracting centroids
     # (ICP.cpp:730-735), which biases the rotation when clouds sit far from
     # the origin.  False reproduces that; True is proper Kabsch (faster

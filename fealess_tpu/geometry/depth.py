@@ -60,6 +60,34 @@ def scale_intrinsics(fx: float, fy: float, cx: float, cy: float,
     return fx * zoom, fy * zoom, cx * zoom, cy * zoom
 
 
+def normals_from_point_image(points: jax.Array) -> jax.Array:
+    """Per-pixel surface normals of an ``(H, W, 3)`` point image.
+
+    Central-difference tangents along u and v, normal = normalize(du x dv),
+    oriented to face the camera (``n . p <= 0``).  Pixels whose neighbourhood
+    contains invalid (NaN) points get a zero normal — downstream consumers
+    treat ``|n| < 0.5`` as invalid.  This feeds the point-to-plane ICP mode,
+    which has no reference counterpart (the reference's refinement is
+    point-to-point only, ICP/ICP.cpp:730-744; its quantized-normal modality
+    linemod.cpp:595-685 is a separate 8-bin code, not a float normal).
+    """
+    p = points
+    # edge-replicated central differences (one-sided at the borders)
+    du = jnp.concatenate([p[:, 1:2] - p[:, 0:1],
+                          (p[:, 2:] - p[:, :-2]) * 0.5,
+                          p[:, -1:] - p[:, -2:-1]], axis=1)
+    dv = jnp.concatenate([p[1:2] - p[0:1],
+                          (p[2:] - p[:-2]) * 0.5,
+                          p[-1:] - p[-2:-1]], axis=0)
+    n = jnp.cross(du, dv)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ok = jnp.isfinite(norm[..., 0]) & (norm[..., 0] > 1e-12)
+    n = jnp.where(ok[..., None], n / jnp.where(ok[..., None], norm, 1.0), 0.0)
+    # face the camera: flip where the normal points away from the origin ray
+    flip = jnp.sum(n * p, axis=-1) > 0
+    return jnp.where(flip[..., None], -n, n)
+
+
 def valid_mm(points_mm: jax.Array, max_depth_mm: float = 900.0) -> jax.Array:
     """Validity of back-projected points in mm: ``z <= 900``.
 

@@ -80,6 +80,33 @@ def kabsch(model: jax.Array, ref: jax.Array, mask: jax.Array):
     return r_opt, t_opt, ok
 
 
+def skew(v: jax.Array) -> jax.Array:
+    """Cross-product matrix [v]x of a 3-vector."""
+    z = jnp.zeros((), v.dtype)
+    return jnp.array([[z, -v[2], v[1]],
+                      [v[2], z, -v[0]],
+                      [-v[1], v[0], z]])
+
+
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rodrigues exponential map: axis-angle 3-vector -> rotation matrix.
+
+    Used by the point-to-plane Gauss-Newton update (not present in the
+    reference, which only does SVD point-to-point, ICP/ICP.cpp:730-744).
+    Taylor-safe at small angles.
+    """
+    theta2 = jnp.sum(omega * omega)
+    theta = jnp.sqrt(theta2)
+    k = skew(omega)
+    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near zero
+    small = theta < 1e-6
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(
+        small, 1.0, theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    return jnp.eye(3, dtype=omega.dtype) + a * k + b * (k @ k)
+
+
 def pose_matrix_4x4(r: jax.Array, t: jax.Array) -> jax.Array:
     """Pack ``R, t`` into a 4x4 row-major world2cam matrix.
 

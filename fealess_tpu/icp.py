@@ -180,6 +180,126 @@ def icp_point_to_point(ref: jax.Array, model: jax.Array,
         inlier_ratio=ratio, iterations=it, ok=ok)
 
 
+def icp_point_to_plane(ref: jax.Array, ref_normals: jax.Array,
+                       model: jax.Array, pair_mask: jax.Array,
+                       icp: cfg.IcpConfig) -> IcpResult:
+    """Point-to-plane ICP via 6x6 Gauss-Newton normal equations.
+
+    The TPU performance path (no reference counterpart — the reference is
+    point-to-point SVD only, ICP/ICP.cpp:730-744).  Each iteration:
+
+    - correspond model -> ref exactly like the point mode (identity pairing
+      on iteration 1, gated brute-force NN after, ICP.cpp:700-709 semantics);
+    - residual ``r_i = n_i . (m_i - p_i)``, Jacobian row
+      ``J_i = [m_i x n_i, n_i]`` for the twist ``(omega, u)``;
+    - accumulate ``H = sum J_i J_i^T`` (6x6) and ``g = sum J_i r_i`` — one
+      (P, 6)^T (P, 6) matmul pair on the MXU, psum-able when point-sharded;
+    - solve ``H d = -g`` (Tikhonov-damped) and apply ``R* = exp(omega)``,
+      ``T* = u`` with the same composition/termination rules as the point
+      mode, so results drop into the same pipeline unchanged.
+
+    ``ref_normals`` are unit camera-facing normals per ref point; rows with
+    ``|n| < 0.5`` are treated as invalid correspondences.
+    """
+    fmax = jnp.float32(jnp.finfo(jnp.float32).max)
+    hi = jax.lax.Precision.HIGHEST
+    n_pairs = jnp.sum(pair_mask)
+    ok = n_pairs >= icp.min_points
+    normal_ok_ref = jnp.sum(ref_normals * ref_normals, axis=1) > 0.25
+
+    dist_mean0, ratio0 = _masked_pair_stats(model, ref, pair_mask, fmax)
+
+    def cond(state):
+        it, _, _, _, dist_mean, dist_diff, _ = state
+        return ((dist_mean > icp.dist_mean_threshold)
+                & (dist_diff > icp.dist_diff_threshold)
+                & (it < icp.max_iterations))
+
+    def body(state):
+        it, r_acc, t_acc, model_tmp, dist_mean, dist_diff, ratio = state
+        it = it + 1
+
+        def identity_corr():
+            return ref, ref_normals, pair_mask & normal_ok_ref
+
+        def nn_corr():
+            idx, d2 = nearest_neighbor(model_tmp, ref)
+            gate = 3.0 * dist_mean
+            if not icp.squared_distance_gate:
+                gate = gate * gate
+            keep = pair_mask & (d2 <= gate) & normal_ok_ref[idx]
+            return ref[idx], ref_normals[idx], keep
+
+        cor_ref, cor_n, cor_mask = jax.lax.cond(it == 1, identity_corr,
+                                                nn_corr)
+        enough = jnp.sum(cor_mask) >= icp.min_points
+
+        w = cor_mask.astype(jnp.float32)[:, None]
+        # Rotation parameterized about the model centroid: shrinks the
+        # rotation-block lever arms from |p| (~600mm camera distance) to
+        # the object radius, keeping the 6x6 well-conditioned in f32.
+        centroid = tf.masked_mean(model_tmp, cor_mask)
+        resid = jnp.sum(cor_n * (model_tmp - cor_ref), axis=1)   # (P,)
+        jrow = jnp.concatenate(
+            [jnp.cross(model_tmp - centroid, cor_n), cor_n],
+            axis=1)                                              # (P, 6)
+        jw = jrow * w
+        h = jnp.matmul(jw.T, jw, precision=hi)                   # (6, 6)
+        g = jnp.matmul(jw.T, (resid * cor_mask)[:, None],
+                       precision=hi)[:, 0]                       # (6,)
+        # Levenberg-style per-diagonal damping (scale-aware: the rotation
+        # block is in mm^2, the translation block dimensionless).
+        damp = icp.plane_damping * jnp.diag(jnp.maximum(jnp.diag(h), 1.0))
+        delta = jnp.linalg.solve(h + damp, -g)
+        omega, u = delta[:3], delta[3:]
+        r_opt = tf.so3_exp(omega)
+        t_opt = u + centroid - r_opt @ centroid
+        finite = jnp.all(jnp.isfinite(delta))
+
+        do_update = enough & finite
+        r_opt = jnp.where(do_update, r_opt, jnp.eye(3))
+        t_opt = jnp.where(do_update, t_opt, jnp.zeros(3))
+
+        new_model = model_tmp @ r_opt.T + t_opt
+        thr = 3.0 * dist_mean
+        new_dist, new_ratio = _masked_pair_stats(new_model, ref, pair_mask,
+                                                 thr)
+        new_diff = dist_mean - new_dist
+
+        model_tmp = jnp.where(do_update, new_model, model_tmp)
+        dist_diff = jnp.where(do_update, new_diff, dist_diff)
+        dist_mean = jnp.where(do_update, new_dist, dist_mean)
+        ratio = jnp.where(do_update, new_ratio, ratio)
+        t_acc = jnp.where(do_update, r_opt @ t_acc + t_opt, t_acc)
+        r_acc = jnp.where(do_update, r_opt @ r_acc, r_acc)
+        it = jnp.where(enough, it, icp.max_iterations)
+        return it, r_acc, t_acc, model_tmp, dist_mean, dist_diff, ratio
+
+    init = (jnp.int32(0), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), model, dist_mean0, fmax, ratio0)
+    state = jax.lax.while_loop(
+        cond, body,
+        jax.lax.cond(ok, lambda: init,
+                     lambda: (jnp.int32(icp.max_iterations),) + init[1:]))
+    it, r_acc, t_acc, _, dist_mean, _, ratio = state
+    return IcpResult(
+        r=jnp.where(ok, r_acc, jnp.eye(3)),
+        t=jnp.where(ok, t_acc, jnp.zeros(3)),
+        dist_mean=jnp.where(ok, dist_mean, -1.0),
+        inlier_ratio=ratio, iterations=it, ok=ok)
+
+
+def icp_refine(ref, model, pair_mask, icp: cfg.IcpConfig,
+               ref_normals=None) -> IcpResult:
+    """Mode dispatcher: ``icp.mode`` selects point-to-point (reference
+    parity) or point-to-plane (requires ``ref_normals``)."""
+    if icp.mode == "point_to_plane":
+        if ref_normals is None:
+            raise ValueError("point_to_plane mode needs ref_normals")
+        return icp_point_to_plane(ref, ref_normals, model, pair_mask, icp)
+    return icp_point_to_point(ref, model, pair_mask, icp)
+
+
 @functools.partial(jax.jit, static_argnames=("icp",))
 def icp_jit(ref, model, pair_mask, icp: cfg.IcpConfig) -> IcpResult:
     return icp_point_to_point(ref, model, pair_mask, icp)

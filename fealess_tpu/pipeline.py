@@ -85,6 +85,9 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
                                 model_x0, model_y0, crop_h, crop_w)
     ref_pts = _crop_points_mm(scene_depth_u16, scene_k,
                               match_x, match_y, crop_h, crop_w)
+    plane_mode = engine.icp.mode == "point_to_plane"
+    ref_normals = (gd.normals_from_point_image(ref_pts).reshape(-1, 3)
+                   if plane_mode else None)
 
     uu = jnp.arange(crop_w)[None, :]
     vv = jnp.arange(crop_h)[:, None]
@@ -112,6 +115,8 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
         model_flat = model_flat[take]
         ref_flat = ref_flat[take]
         pair_mask = pair_mask[take]
+        if ref_normals is not None:
+            ref_normals = ref_normals[take]
 
     # Translation init, mode test_id=2 (detection.cpp:147-199).
     def mmean(pts):
@@ -125,8 +130,8 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
     t_init = t_tmp + t_match
     model_flat = jnp.where(pair_mask[:, None], model_flat + t_tmp, model_flat)
 
-    result = icp_mod.icp_point_to_point(ref_flat, model_flat, pair_mask,
-                                        engine.icp)
+    result = icp_mod.icp_refine(ref_flat, model_flat, pair_mask, engine.icp,
+                                ref_normals=ref_normals)
     t_final = result.r @ t_init + result.t
     r_final = result.r @ r_match
     return RefineResult(r=r_final, t=t_final, icp=result,
