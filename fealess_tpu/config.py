@@ -91,6 +91,9 @@ class EngineConfig:
     # Model depth png is stored in 0.1 mm units (obj_reco_lmicp.cpp:188).
     model_depth_scale: float = 0.1
     nms_object_distance: float = 50.0       # mm; th_obj_dist for 3D NMS
+    # Candidates refined in parallel by the multi-object path (the
+    # reference refines top-1 only, obj_reco_lmicp.cpp:111).
+    max_objects: int = 8
     # Static refine-window side (must cover the largest template bbox and
     # fit inside the processed image).
     refine_crop: int = 256

@@ -125,10 +125,12 @@ class ObjReco:
                 # convertTo(CV_16UC1, 0.1) rounds half away from zero? cv
                 # uses cvRound (half-to-even); match it:
                 mm16 = np.rint(mm).astype(np.uint16)
-                x0, y0 = view.offset_x[0], view.offset_y[0]
-                h, w = mm16.shape
-                x0 = min(max(x0, 0), max(w - crop, 0))
-                y0 = min(max(y0, 0), max(h - crop, 0))
+                # Crop at the EXACT template rect origin (zero-padded past
+                # the image edge): the refine step index-pairs the model
+                # and scene rects, so the rect must start at the crop
+                # origin — clamping here would shift the pairing.
+                x0, y0 = max(int(view.offset_x[0]), 0), \
+                    max(int(view.offset_y[0]), 0)
                 win = mm16[y0:y0 + crop, x0:x0 + crop]
                 out[slot, :win.shape[0], :win.shape[1]] = win
                 # remember the crop origin actually used
@@ -138,6 +140,65 @@ class ObjReco:
 
     def set_roi(self, roi_mask: np.ndarray) -> None:
         """SetROI is a stub in the reference (obj_reco_lmicp.cpp:81-84)."""
+
+    def _origins_array(self) -> np.ndarray:
+        out = np.zeros((self.bank.capacity, 2), np.int32)
+        off_x = np.asarray(self.bank.offset_x)[:, 0]
+        off_y = np.asarray(self.bank.offset_y)[:, 0]
+        out[:, 0] = off_x
+        out[:, 1] = off_y
+        for slot, (x0, y0) in self._depth_origin.items():
+            out[slot] = (x0, y0)
+        return out
+
+    def _prepare_frame(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
+                       cam: CamIntrinsics):
+        """PrepareInputData (obj_reco_lmicp.cpp:216-259): resize to the
+        processing width, zoom the intrinsics."""
+        d = self.cfg.detector
+        if (rgb_bgr.shape[0] != cam.height or rgb_bgr.shape[1] != cam.width
+                or depth_u16.shape != (cam.height, cam.width)):
+            raise ValueError("image size must match camera intrinsics")
+        zoom = d.image_width / cam.width
+        w = d.image_width
+        h = cam.height * d.image_width // cam.width
+        if zoom != 1.0:
+            rgb_bgr = cv2.resize(rgb_bgr, (w, h))
+            depth_u16 = cv2.resize(depth_u16, (w, h),
+                                   interpolation=cv2.INTER_NEAREST)
+        fx, fy, cx, cy = gd.scale_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy,
+                                             zoom)
+        scene_k = gd.intrinsics_matrix(fx, fy, cx, cy)
+        return rgb_bgr, depth_u16, scene_k
+
+    def recognition_multi(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
+                          cam: CamIntrinsics,
+                          max_objects: Optional[int] = None
+                          ) -> List[RecoResult]:
+        """Multi-object Recognition: refine the top-M match candidates in
+        parallel on device and 3D-NMS the refined poses (the multi-object
+        design of ICP/NMS.cpp:6-40; the reference engine itself only
+        returns top-1, obj_reco_lmicp.cpp:111)."""
+        if self.bank is None:
+            raise RuntimeError("add_obj not called")
+        m = max_objects or self.cfg.max_objects
+        rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
+                                                          depth_u16, cam)
+        step = pipeline.recognize_multi_jit(
+            self.bank, jnp.asarray(self._model_depth),
+            jnp.asarray(self._origins_array()), jnp.asarray(rgb_bgr),
+            jnp.asarray(depth_u16), scene_k, self.cfg, m)
+        keep = np.asarray(step.valid)
+        results: List[RecoResult] = []
+        for i in np.nonzero(keep)[0]:
+            results.append(RecoResult(
+                obj_tag=self.bank.class_names[int(np.asarray(
+                    step.class_idx)[i])],
+                world2cam=np.asarray(step.poses[i]),
+                similarity=float(np.asarray(step.similarity)[i]),
+                icp_dist=float(np.asarray(step.icp_dist)[i]),
+                inlier_ratio=float(np.asarray(step.inlier_ratio)[i])))
+        return results
 
     def recognition(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
                     cam: CamIntrinsics) -> List[RecoResult]:

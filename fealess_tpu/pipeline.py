@@ -49,12 +49,16 @@ def _crop_points_mm(depth_u16: jax.Array, k: jax.Array,
     """Back-project a (crop_h, crop_w) window at (x0, y0) to mm points.
 
     Equivalent to depthTo3d on the full image followed by rect cropping
-    (detection.cpp:29-43) — unprojection uses absolute pixel coords.
+    (detection.cpp:29-43) — unprojection uses absolute pixel coords.  The
+    image is zero-padded so a window extending past the bottom/right edge
+    reads invalid (0) depth instead of silently shifting the origin —
+    shifting would misalign the index pairing between the model and scene
+    rects.
     """
-    h, w = depth_u16.shape
-    x0c = jnp.clip(x0, 0, w - crop_w)
-    y0c = jnp.clip(y0, 0, h - crop_h)
-    window = jax.lax.dynamic_slice(depth_u16, (y0c, x0c), (crop_h, crop_w))
+    padded = jnp.pad(depth_u16, ((0, crop_h), (0, crop_w)))
+    x0c = jnp.clip(x0, 0, depth_u16.shape[1])
+    y0c = jnp.clip(y0, 0, depth_u16.shape[0])
+    window = jax.lax.dynamic_slice(padded, (y0c, x0c), (crop_h, crop_w))
     z = jnp.where(window == 0, jnp.nan,
                   window.astype(jnp.float32) / 1000.0)
     fx, fy = k[0, 0], k[1, 1]
@@ -138,6 +142,14 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
                         n_pairs=jnp.sum(pair_mask))
 
 
+@functools.partial(jax.jit, static_argnames=("engine", "max_objects"))
+def recognize_multi_jit(bank, model_depth_stack, depth_origins, bgr,
+                        scene_depth_u16, scene_k, engine: cfg.EngineConfig,
+                        max_objects: int) -> "MultiRecoStep":
+    return recognize_multi(bank, model_depth_stack, depth_origins, bgr,
+                           scene_depth_u16, scene_k, engine, max_objects)
+
+
 @functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
 def refine_match_jit(scene_depth_u16, scene_k, model_depth_u16, template_k,
                      rect_w, rect_h, model_x0, model_y0, match_x, match_y,
@@ -163,36 +175,13 @@ class RecoStep:
     refine: RefineResult
 
 
-def recognize_top1(bank, model_depth_stack: jax.Array,
-                   depth_origins: jax.Array, bgr: jax.Array,
-                   scene_depth_u16: jax.Array, scene_k: jax.Array,
-                   engine: cfg.EngineConfig) -> RecoStep:
-    """The full Recognition step as ONE jittable function: match the whole
-    bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
-    gather its model depth/pose and ICP-refine — no host round trip
-    between stages, so frames pipeline through the device back-to-back
-    and the step can be vmapped over a frame batch or shard_mapped.
-
-    Args:
-      bank: packed TemplateBank.
-      model_depth_stack: (N, crop, crop) u16 mm — per-slot model depth,
-        pre-cropped at ``depth_origins`` (engine.ObjReco builds this).
-      depth_origins: (N, 2) int32 (x0, y0) crop origins.
-      bgr / scene_depth_u16: the frame at the processing resolution.
-      scene_k: (3, 3) zoomed intrinsics.
-    """
-    from fealess_tpu import detector as det_mod
+def _refine_candidate(bank, model_depth_stack, depth_origins,
+                      scene_depth_u16, scene_k, slot, mx, my,
+                      engine: cfg.EngineConfig, crop: int):
+    """Gather one candidate's template data and ICP-refine it -> (pose,
+    RefineResult).  Shared by the top-1 and multi-object paths; vmappable
+    over (slot, mx, my)."""
     from fealess_tpu.geometry import transforms as tf
-
-    d = engine.detector
-    crop = model_depth_stack.shape[-1]
-    matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
-                                 engine.matching_threshold, d)
-    # Matches are sorted (similarity desc, template asc); slot 0 is the
-    # best candidate and `valid[0]` says whether any survived.
-    slot = matches.template_slot[0]
-    valid = matches.valid[0]
-    mx, my = matches.x[0], matches.y[0]
 
     pose13 = bank.pose[slot]
     r_match, t_match, _ = tf.pose_from_13floats(pose13)
@@ -215,7 +204,104 @@ def recognize_top1(bank, model_depth_stack: jax.Array,
                        model_depth_stack[slot], template_k,
                        rect_w, rect_h, off_x - dx0, off_y - dy0, mx, my,
                        r_match, t_match, engine, crop_h=crop, crop_w=crop)
-    pose = tf.pose_matrix_4x4(res.r, res.t)
+    return tf.pose_matrix_4x4(res.r, res.t), res
+
+
+def recognize_top1(bank, model_depth_stack: jax.Array,
+                   depth_origins: jax.Array, bgr: jax.Array,
+                   scene_depth_u16: jax.Array, scene_k: jax.Array,
+                   engine: cfg.EngineConfig) -> RecoStep:
+    """The full Recognition step as ONE jittable function: match the whole
+    bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
+    gather its model depth/pose and ICP-refine — no host round trip
+    between stages, so frames pipeline through the device back-to-back
+    and the step can be vmapped over a frame batch or shard_mapped.
+
+    Args:
+      bank: packed TemplateBank.
+      model_depth_stack: (N, crop, crop) u16 mm — per-slot model depth,
+        pre-cropped at ``depth_origins`` (engine.ObjReco builds this).
+      depth_origins: (N, 2) int32 (x0, y0) crop origins.
+      bgr / scene_depth_u16: the frame at the processing resolution.
+      scene_k: (3, 3) zoomed intrinsics.
+    """
+    from fealess_tpu import detector as det_mod
+
+    d = engine.detector
+    crop = model_depth_stack.shape[-1]
+    matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
+                                 engine.matching_threshold, d)
+    # Matches are sorted (similarity desc, template asc); slot 0 is the
+    # best candidate and `valid[0]` says whether any survived.
+    slot = matches.template_slot[0]
+    valid = matches.valid[0]
+    mx, my = matches.x[0], matches.y[0]
+    pose, res = _refine_candidate(bank, model_depth_stack, depth_origins,
+                                  scene_depth_u16, scene_k, slot, mx, my,
+                                  engine, crop)
     return RecoStep(pose=pose, valid=valid, similarity=matches.similarity[0],
                     class_idx=matches.class_idx[0], template_slot=slot,
                     match_x=mx, match_y=my, refine=res)
+
+
+@struct.dataclass
+class MultiRecoStep:
+    """Multi-object Recognition result: the top-M refined candidates after
+    3D NMS.  Slot ``i`` is live when ``valid[i]``; its fields are taken
+    from the NMS cluster winner (nonMaximumSuppression emits the winner's
+    pose per cluster, ICP/NMS.cpp:30-39)."""
+    poses: Any          # (M, 4, 4)
+    valid: Any          # (M,) cluster seeded here and above threshold
+    similarity: Any     # (M,)
+    class_idx: Any      # (M,)
+    template_slot: Any  # (M,)
+    icp_dist: Any       # (M,)
+    inlier_ratio: Any   # (M,)
+    n_pairs: Any        # (M,)
+
+
+def recognize_multi(bank, model_depth_stack: jax.Array,
+                    depth_origins: jax.Array, bgr: jax.Array,
+                    scene_depth_u16: jax.Array, scene_k: jax.Array,
+                    engine: cfg.EngineConfig,
+                    max_objects: int) -> MultiRecoStep:
+    """Multi-object Recognition: match the bank, ICP-refine the top-M
+    candidates in parallel (vmap — the reference refines top-1 only,
+    obj_reco_lmicp.cpp:111; its detection()+NMS path ICP/NMS.cpp:6-40 is
+    the multi-candidate design this realizes), then 3D NMS over the
+    refined translations."""
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu import nms as nms_mod
+
+    d = engine.detector
+    crop = model_depth_stack.shape[-1]
+    matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
+                                 engine.matching_threshold, d)
+    m = max_objects
+    slots = matches.template_slot[:m]
+    mxs = matches.x[:m]
+    mys = matches.y[:m]
+    valid = matches.valid[:m]
+
+    poses, res = jax.vmap(
+        lambda s, x, y: _refine_candidate(
+            bank, model_depth_stack, depth_origins, scene_depth_u16,
+            scene_k, s, x, y, engine, crop))(slots, mxs, mys)
+
+    # 3D NMS over refined candidate translations (NMS.cpp:6-40); the
+    # model-point count is the ICP pair count, the score its dist_mean.
+    t = poses[:, :3, 3]
+    icp_dist = jnp.where(res.icp.dist_mean < 0, jnp.float32(1e9),
+                         res.icp.dist_mean)
+    cand_valid = valid & res.icp.ok
+    nms = nms_mod.nms_3d(t, icp_dist, res.n_pairs, cand_valid,
+                         engine.nms_object_distance)
+    w = jnp.maximum(nms.winner, 0)
+    return MultiRecoStep(
+        poses=poses[w], valid=nms.keep,
+        similarity=matches.similarity[:m][w],
+        class_idx=matches.class_idx[:m][w],
+        template_slot=slots[w],
+        icp_dist=res.icp.dist_mean[w],
+        inlier_ratio=res.icp.inlier_ratio[w],
+        n_pairs=res.n_pairs[w])
