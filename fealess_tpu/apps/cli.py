@@ -1,0 +1,310 @@
+"""The ``fealess`` command-line driver.
+
+Replaces the reference's self-registering command map (test/main.cpp:14-76,
+``FEALESS <action> <config_dir>``) with argparse subcommands over the same
+data layouts:
+
+- ``train``     — linemod_train (test/linemod_train.cpp:30-91): scan
+                  package -> linemod_templates.yml.
+- ``recon``     — linemod_recon (test/linemod_recon.cpp:10-114): image
+                  series -> per-frame poses (optional wireframe overlays).
+- ``track``     — the KCF-gated pipeline (linemod_acq.cpp:103-196 demo).
+- ``eval``      — ADD/rotation/translation metrics against ground-truth
+                  poses (no reference equivalent; SURVEY.md §4c).
+- ``bench``     — the single-chip throughput benchmark (bench.py).
+
+There is no RealSense capture here (``linemod_acq``'s hardware path);
+frame streams come from image series directories (gray/ + depth/ pngs,
+the layout of CImgSeriesReader + the training package).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _series_paths(directory: str, color_sub: str = "gray",
+                  depth_sub: str = "depth"):
+    """Numerically ordered (color, depth) png path pairs."""
+    def _key(p):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        return (0, int(stem)) if stem.isdigit() else (1, stem)
+
+    colors = sorted(glob.glob(os.path.join(directory, color_sub, "*.png")),
+                    key=_key)
+    pairs = []
+    for c in colors:
+        d = os.path.join(directory, depth_sub, os.path.basename(c))
+        if os.path.exists(d):
+            pairs.append((c, d))
+    return pairs
+
+
+def _camera(args, width: int, height: int):
+    from fealess_tpu.engine import CamIntrinsics
+    return CamIntrinsics(fx=args.fx, fy=args.fy,
+                         cx=args.cx if args.cx >= 0 else width / 2.0,
+                         cy=args.cy if args.cy >= 0 else height / 2.0,
+                         width=width, height=height)
+
+
+def _add_camera_args(p: argparse.ArgumentParser):
+    # default K mirrors the reference's hardcoded fallback
+    # (ICP/common.cpp:336-358; test/linemod_recon.cpp:27)
+    p.add_argument("--fx", type=float, default=608.0)
+    p.add_argument("--fy", type=float, default=608.0)
+    p.add_argument("--cx", type=float, default=-1.0,
+                   help="principal x (default: width/2)")
+    p.add_argument("--cy", type=float, default=-1.0,
+                   help="principal y (default: height/2)")
+
+
+def _engine_for(args, width: int, height: int):
+    import dataclasses
+
+    from fealess_tpu import config as cfg
+    from fealess_tpu.engine import ObjReco
+
+    det = cfg.DetectorConfig(image_width=width, image_height=height)
+    cam = _camera(args, width, height)
+    # Template-rendering intrinsics default to the camera K (a training
+    # package is captured with the recognition camera); the reference
+    # instead hardcodes 608/320/240 for its 640x480 renders
+    # (ICP/common.cpp:326-372) — pass --template-* to reproduce that.
+    ecfg = cfg.EngineConfig(
+        detector=det,
+        icp=dataclasses.replace(cfg.IcpConfig(), mode=args.icp_mode,
+                                max_points=args.icp_max_points),
+        matching_threshold=args.threshold,
+        refine_crop=min(args.refine_crop, height, width),
+        template_fx=args.template_fx if args.template_fx > 0 else cam.fx,
+        template_fy=args.template_fy if args.template_fy > 0 else cam.fy,
+        template_cx=args.template_cx if args.template_cx >= 0 else cam.cx,
+        template_cy=args.template_cy if args.template_cy >= 0 else cam.cy)
+    eng = ObjReco.create("LmICP", ecfg)
+    eng.add_obj(args.dir)
+    return eng
+
+
+def cmd_train(args) -> int:
+    from fealess_tpu import config as cfg
+    from fealess_tpu.apps import scan_package
+
+    det = cfg.DetectorConfig()
+    added, seen = scan_package.train_package(
+        args.dir, det, class_id=args.class_id, progress=True)
+    print(f"Training: {added}/{seen} frames -> "
+          f"{os.path.join(args.dir, 'linemod_templates.yml')}")
+    return 0 if added else 1
+
+
+def cmd_recon(args) -> int:
+    import cv2
+
+    from fealess_tpu.io.native import FrameLoader
+
+    series = args.series or args.dir
+    pairs = _series_paths(series, color_sub=args.color_sub)
+    if not pairs:
+        print(f"no frames under {series}", file=sys.stderr)
+        return 1
+    first = cv2.imread(pairs[0][0])
+    h, w = first.shape[:2]
+    eng = _engine_for(args, w, h)
+    cam = _camera(args, w, h)
+
+    mesh = None
+    if args.overlay_dir:
+        from fealess_tpu.apps import model_mesh
+        objs = glob.glob(os.path.join(args.dir, "*.obj"))
+        if objs:
+            mesh = model_mesh.load_obj(objs[0], model_scale=args.model_scale)
+        os.makedirs(args.overlay_dir, exist_ok=True)
+
+    loader = FrameLoader([p[0] for p in pairs], [p[1] for p in pairs],
+                         target_wh=(w, h))
+    n = 0
+    t0 = time.perf_counter()
+    for idx, bgr, depth in loader:
+        if args.depth_scale != 1.0:
+            depth = np.clip(np.rint(depth.astype(np.float64)
+                                    * args.depth_scale),
+                            0, 65535).astype(np.uint16)
+        if args.multi:
+            results = eng.recognition_multi(bgr, depth, cam)
+        else:
+            results = eng.recognition(bgr, depth, cam)
+        n += 1
+        out = {"frame": idx,
+               "results": [{"obj": r.obj_tag,
+                            "similarity": r.similarity,
+                            "icp_dist": r.icp_dist,
+                            "pose": np.asarray(r.world2cam).tolist()}
+                           for r in results]}
+        print(json.dumps(out))
+        if mesh is not None and results:
+            k = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy],
+                          [0, 0, 1]])
+            img = bgr.copy()
+            model_mesh.draw_wireframe(img, mesh, k, results[0].world2cam)
+            cv2.imwrite(os.path.join(args.overlay_dir, f"{idx}.png"), img)
+    dt = time.perf_counter() - t0
+    print(f"# {n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
+    return 0
+
+
+def cmd_track(args) -> int:
+    import cv2
+
+    from fealess_tpu.apps.track import TrackedRecognizer
+    from fealess_tpu.io.native import FrameLoader
+
+    series = args.series or args.dir
+    pairs = _series_paths(series, color_sub=args.color_sub)
+    if not pairs:
+        print(f"no frames under {series}", file=sys.stderr)
+        return 1
+    first = cv2.imread(pairs[0][0])
+    h, w = first.shape[:2]
+    eng = _engine_for(args, w, h)
+    cam = _camera(args, w, h)
+    tracker = TrackedRecognizer(eng, max_lost=args.max_lost)
+
+    loader = FrameLoader([p[0] for p in pairs], [p[1] for p in pairs],
+                         target_wh=(w, h))
+    for idx, bgr, depth in loader:
+        if args.depth_scale != 1.0:
+            depth = np.clip(np.rint(depth.astype(np.float64)
+                                    * args.depth_scale),
+                            0, 65535).astype(np.uint16)
+        step = tracker.step(bgr, depth, cam)
+        out = {"frame": idx, "redetected": step.redetected,
+               "tracking": step.tracking,
+               "roi": list(step.roi) if step.roi else None,
+               "results": [{"obj": r.obj_tag, "similarity": r.similarity,
+                            "pose": np.asarray(r.world2cam).tolist()}
+                           for r in step.results]}
+        print(json.dumps(out))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Compare recon JSONL output against ground-truth pose txt files."""
+    from fealess_tpu.apps import metrics, model_mesh
+
+    poses_est: List[Optional[np.ndarray]] = []
+    poses_gt: List[np.ndarray] = []
+    with open(args.results) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rec = json.loads(line)
+            gt_path = os.path.join(args.dir, "pose",
+                                   f"{rec['frame']}.txt")
+            with open(gt_path) as gf:
+                vals = [float(v) for v in gf.readline().split()[:12]]
+            gt = np.eye(4, dtype=np.float32)
+            gt[:3, :4] = np.asarray(vals, np.float32).reshape(3, 4)
+            poses_gt.append(gt)
+            if rec["results"]:
+                poses_est.append(np.asarray(rec["results"][0]["pose"]))
+            else:
+                poses_est.append(None)
+
+    objs = glob.glob(os.path.join(args.dir, "*.obj"))
+    if not objs:
+        print("no .obj model for ADD evaluation", file=sys.stderr)
+        return 1
+    mesh = model_mesh.load_obj(objs[0], model_scale=args.model_scale)
+    summary = metrics.evaluate(poses_est, poses_gt, mesh.vertices,
+                               add_tau=args.add_tau)
+    print(json.dumps({
+        "n_frames": summary.n_frames,
+        "detection_rate": summary.detection_rate,
+        "add_pass_rate": summary.add_pass_rate,
+        "mean_add": summary.mean_add,
+        "mean_rot_deg": summary.mean_rot_deg,
+        "mean_trans_mm": summary.mean_trans_mm}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fealess",
+        description="TPU-native RGB-D 6DoF object recognition engine")
+    sub = p.add_subparsers(dest="action", required=True)
+
+    t = sub.add_parser("train", help="train templates from a scan package")
+    t.add_argument("dir")
+    t.add_argument("--class-id", default="obj")
+    t.set_defaults(fn=cmd_train)
+
+    def _recon_like(r):
+        r.add_argument("dir", help="feature dir (linemod_templates.yml)")
+        r.add_argument("--series", default=None,
+                       help="frame series dir (default: feature dir)")
+        r.add_argument("--color-sub", default="gray")
+        r.add_argument("--threshold", type=float, default=75.0)
+        r.add_argument("--icp-mode", default="point_to_point",
+                       choices=["point_to_point", "point_to_plane"])
+        r.add_argument("--refine-crop", type=int, default=256)
+        r.add_argument("--icp-max-points", type=int, default=16384)
+        r.add_argument("--depth-scale", type=float, default=0.1,
+                       help="series depth png -> mm factor (package pngs "
+                            "are 0.1mm units; RealSense mm series use 1)")
+        r.add_argument("--template-fx", type=float, default=-1.0,
+                       help="template render K (default: camera K)")
+        r.add_argument("--template-fy", type=float, default=-1.0)
+        r.add_argument("--template-cx", type=float, default=-1.0)
+        r.add_argument("--template-cy", type=float, default=-1.0)
+        _add_camera_args(r)
+
+    r = sub.add_parser("recon", help="recognize over an image series")
+    _recon_like(r)
+    r.add_argument("--multi", action="store_true",
+                   help="multi-object NMS path")
+    r.add_argument("--overlay-dir", default=None,
+                   help="write wireframe overlay pngs here")
+    r.add_argument("--model-scale", type=float, default=0.1,
+                   help="OBJ vertex divisor (RENDERING_MODEL_SCALE)")
+    r.set_defaults(fn=cmd_recon)
+
+    k = sub.add_parser("track", help="KCF-gated recognition over a series")
+    _recon_like(k)
+    k.add_argument("--max-lost", type=int, default=2)
+    k.set_defaults(fn=cmd_track)
+
+    e = sub.add_parser("eval", help="ADD metrics from recon output")
+    e.add_argument("dir", help="package dir with pose/<i>.txt + model.obj")
+    e.add_argument("results", help="recon JSONL output file")
+    e.add_argument("--add-tau", type=float, default=0.1)
+    e.add_argument("--model-scale", type=float, default=0.1)
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="single-chip throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

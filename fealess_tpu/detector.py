@@ -226,3 +226,15 @@ def match_from_memories(bank: TemplateBank, lms, threshold: float,
 def match_bank_jit(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                    threshold: float, det: cfg.DetectorConfig) -> Matches:
     return match_bank(bank, bgr, depth_mm, threshold, det)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "det"))
+def match_bank_masked_jit(bank: TemplateBank, bgr: jax.Array,
+                          depth_mm: jax.Array, roi_mask: jax.Array,
+                          threshold: float,
+                          det: cfg.DetectorConfig) -> Matches:
+    """Match gated by a level-0 ROI mask applied to both modalities (the
+    KCF-gated re-detection path of the reference demo,
+    test/linemod_acq.cpp:136-191)."""
+    return match_bank(bank, bgr, depth_mm, threshold, det,
+                      masks=[roi_mask, roi_mask])

@@ -50,12 +50,15 @@ class CamIntrinsics:
 
 @dataclasses.dataclass
 class RecoResult:
-    """TObjRecoResult equivalent (lotus_common.h:95-100)."""
+    """TObjRecoResult equivalent (lotus_common.h:95-100), plus the match
+    rect at processing resolution (used by the tracker-gated pipeline,
+    cf. linemod_acq.cpp:160)."""
     obj_tag: str
     world2cam: np.ndarray          # 4x4 row-major
     similarity: float
     icp_dist: float
     inlier_ratio: float
+    match_rect: Optional[tuple] = None   # (x, y, w, h)
 
 
 class ObjReco:
@@ -189,42 +192,45 @@ class ObjReco:
             jnp.asarray(self._origins_array()), jnp.asarray(rgb_bgr),
             jnp.asarray(depth_u16), scene_k, self.cfg, m)
         keep = np.asarray(step.valid)
+        widths = np.asarray(self.bank.width)[:, 0]
+        heights = np.asarray(self.bank.height)[:, 0]
         results: List[RecoResult] = []
         for i in np.nonzero(keep)[0]:
+            slot = int(np.asarray(step.template_slot)[i])
             results.append(RecoResult(
                 obj_tag=self.bank.class_names[int(np.asarray(
                     step.class_idx)[i])],
                 world2cam=np.asarray(step.poses[i]),
                 similarity=float(np.asarray(step.similarity)[i]),
                 icp_dist=float(np.asarray(step.icp_dist)[i]),
-                inlier_ratio=float(np.asarray(step.inlier_ratio)[i])))
+                inlier_ratio=float(np.asarray(step.inlier_ratio)[i]),
+                match_rect=(float(np.asarray(step.match_x)[i]),
+                            float(np.asarray(step.match_y)[i]),
+                            float(widths[slot]), float(heights[slot]))))
         return results
 
     def recognition(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
-                    cam: CamIntrinsics) -> List[RecoResult]:
+                    cam: CamIntrinsics,
+                    roi_mask: Optional[np.ndarray] = None
+                    ) -> List[RecoResult]:
         """Full Recognition (obj_reco_lmicp.cpp:86-204): resize to the
-        processing width, match, take the top match, ICP-refine its pose."""
+        processing width, match, take the top match, ICP-refine its pose.
+        ``roi_mask`` (processing resolution) gates matching to a region —
+        the tracker-gated path (linemod_acq.cpp:136-191)."""
         if self.bank is None:
             raise RuntimeError("add_obj not called")
         d = self.cfg.detector
-        if (rgb_bgr.shape[0] != cam.height or rgb_bgr.shape[1] != cam.width
-                or depth_u16.shape != (cam.height, cam.width)):
-            raise ValueError("image size must match camera intrinsics")
-
-        zoom = d.image_width / cam.width
-        w = d.image_width
-        h = cam.height * d.image_width // cam.width
-        if zoom != 1.0:
-            rgb_bgr = cv2.resize(rgb_bgr, (w, h))
-            depth_u16 = cv2.resize(depth_u16, (w, h),
-                                   interpolation=cv2.INTER_NEAREST)
-        fx, fy, cx, cy = gd.scale_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy,
-                                             zoom)
-        scene_k = gd.intrinsics_matrix(fx, fy, cx, cy)
-
-        matches = det_mod.match_bank_jit(
-            self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
-            float(self.cfg.matching_threshold), d)
+        rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
+                                                          depth_u16, cam)
+        if roi_mask is None:
+            matches = det_mod.match_bank_jit(
+                self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
+                float(self.cfg.matching_threshold), d)
+        else:
+            matches = det_mod.match_bank_masked_jit(
+                self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
+                jnp.asarray(roi_mask.astype(bool)),
+                float(self.cfg.matching_threshold), d)
         valid = np.asarray(matches.valid)
         if not valid.any():
             return []
@@ -260,4 +266,6 @@ class ObjReco:
         pose = np.asarray(tf.pose_matrix_4x4(res.r, res.t))
         return [RecoResult(obj_tag=cls, world2cam=pose, similarity=sim,
                            icp_dist=float(np.asarray(res.icp.dist_mean)),
-                           inlier_ratio=float(np.asarray(res.icp.inlier_ratio)))]
+                           inlier_ratio=float(np.asarray(res.icp.inlier_ratio)),
+                           match_rect=(float(mx), float(my),
+                                       float(rect_w), float(rect_h)))]

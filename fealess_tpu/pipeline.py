@@ -258,6 +258,8 @@ class MultiRecoStep:
     icp_dist: Any       # (M,)
     inlier_ratio: Any   # (M,)
     n_pairs: Any        # (M,)
+    match_x: Any        # (M,)
+    match_y: Any        # (M,)
 
 
 def recognize_multi(bank, model_depth_stack: jax.Array,
@@ -304,4 +306,5 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
         template_slot=slots[w],
         icp_dist=res.icp.dist_mean[w],
         inlier_ratio=res.icp.inlier_ratio[w],
-        n_pairs=res.n_pairs[w])
+        n_pairs=res.n_pairs[w],
+        match_x=mxs[w], match_y=mys[w])
