@@ -8,9 +8,14 @@ recognize_top1) at the reference operating point: 2 pyramid levels
 T={5,8}, <=63 features/modality/template, threshold 75, ICP <=10 iters
 (SURVEY.md §6).
 
-Timing is pipelined (enqueue all iterations, block once): the TPU here
-sits behind a tunnel whose per-call round-trip latency fluctuates by
->100x, so per-call blocking measures the network, not the device.
+Timing protocol: the step runs as an ON-DEVICE dependency chain (each
+frame's input is perturbed by the previous result inside one fori_loop)
+and only the final result is materialized; per-frame time is the slope
+between a short and a long chain.  This measures true device throughput:
+``jax.block_until_ready`` does not fence on the axon TPU tunnel, and
+per-call host materialization would measure the ~30ms tunnel round-trip
+instead of the ~5ms device step (the production serving loop keeps frames
+streaming on device).
 
 Baseline: the reference publishes no numbers (BASELINE.md); ``15 fps`` is
 a single-core C++ LINE-MOD+ICP ballpark at this operating point, to be
@@ -33,6 +38,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from fealess_tpu import config as cfg
+    from fealess_tpu import detector as det_mod
     from fealess_tpu import pipeline
     from __graft_entry__ import _tiny_bank
 
@@ -40,6 +46,8 @@ def main():
     det_cfg = engine.detector
     rng = np.random.default_rng(0)
     bank = _tiny_bank(det_cfg, capacity=N_TEMPLATES, rng=rng)
+    kernels = jax.block_until_ready(
+        det_mod.build_match_kernels(bank, det_cfg))
     bgr = jnp.asarray(rng.integers(0, 255, size=(480, 640, 3),
                                    dtype=np.uint8))
     depth = jnp.asarray(rng.integers(400, 900, size=(480, 640),
@@ -51,17 +59,24 @@ def main():
     scene_k = jnp.asarray([[608.0, 0, 320], [0, 608.0, 240], [0, 0, 1]],
                           jnp.float32)
 
-    fn = jax.jit(lambda b, md, o, i, d, k: pipeline.recognize_top1(
-        b, md, o, i, d, k, engine))
-    args = (bank, model_depth, origins, bgr, depth, scene_k)
-    for _ in range(WARMUP):
-        out = fn(*args)
-        jax.block_until_ready(out.pose)
+    @jax.jit
+    def chain(b, n):
+        def body(i, bb):
+            step = pipeline.recognize_top1(bank, model_depth, origins, bb,
+                                           depth, scene_k, engine,
+                                           kernels=kernels)
+            # data dependency on the result; never actually fires
+            return bb + (step.similarity < -1e30).astype(jnp.uint8)
+        return jax.lax.fori_loop(0, n, body, b)
 
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    jax.block_until_ready([o.pose for o in outs])
-    dt = (time.perf_counter() - t0) / ITERS
+    np.asarray(chain(bgr, WARMUP))                       # compile + warm
+    n_lo, n_hi = 3, 3 + ITERS
+    times = []
+    for n in (n_lo, n_hi, n_lo, n_hi):
+        t0 = time.perf_counter()
+        np.asarray(chain(bgr, n))
+        times.append(time.perf_counter() - t0)
+    dt = (min(times[1], times[3]) - min(times[0], times[2])) / ITERS
     fps = 1.0 / dt
     print(json.dumps({
         "metric": f"e2e_recognition_fps_640x480_{N_TEMPLATES}t",

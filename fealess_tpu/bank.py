@@ -48,6 +48,10 @@ class TemplateBank:
     template_idx: Any
     valid: Any
     class_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    # Max level-0 template bbox side + 1 (px), static: sizes the one-hot
+    # conv kernels of the dense scorer (fealess_tpu.detector).  0 means
+    # unknown; the scorer then falls back to the full decimated grid.
+    max_span: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -144,7 +148,9 @@ def pack_bank(classes: Dict[str, List[TemplateView]],
         offset_x=jnp.asarray(off_x), offset_y=jnp.asarray(off_y),
         pose=jnp.asarray(pose), class_idx=jnp.asarray(class_idx),
         template_idx=jnp.asarray(template_idx), valid=jnp.asarray(valid),
-        class_names=tuple(sorted(classes.keys())))
+        class_names=tuple(sorted(classes.keys())),
+        max_span=int(max([max(v.width[0], v.height[0]) + 1
+                          for _, _, v in views], default=1)))
 
 
 def unpack_bank(bank: TemplateBank) -> Dict[str, List[TemplateView]]:

@@ -91,56 +91,125 @@ def _offset(t: int) -> int:
     return t // 2 + (t % 2 - 1)
 
 
-def linear_memories(levels, det: cfg.DetectorConfig):
-    """Decimated response planes per level: list of
-    (dpad (M, C, 2P), d_flat (M, C*stride), sizes, stride)."""
+def response_planes(levels, det: cfg.DetectorConfig):
+    """Decimated 2D response stacks per level: list of
+    ((C_all, Hd, Wd) u8, (h, w)).  Channels concatenate the modalities
+    (the "linear memories" of linemod.cpp:1060-1088, kept on a 2D grid
+    so scoring is a dense conv)."""
     out = []
     for l, mods in enumerate(levels):
         t = det.t_at_level[l]
         h, w = mods[0].shape
-        hd, wd = h // t, w // t
-        p = hd * wd
-        stride = p + 16 * wd + 16
-        dpad_m, dflat_m = [], []
-        for quant in mods:
-            d = response.build_level(quant, t)          # (C, P)
-            c = d.shape[0]
-            dpad = jnp.zeros((c, 2 * p), jnp.uint8).at[:, :p].set(d)
-            dflat = jnp.zeros((c, stride), jnp.uint8).at[:, :p].set(d)
-            dpad_m.append(dpad)
-            dflat_m.append(dflat.reshape(-1))
-        out.append((jnp.stack(dpad_m), jnp.stack(dflat_m), (h, w), stride))
+        planes = jnp.concatenate(
+            [response.build_level_2d(quant, t) for quant in mods], axis=0)
+        out.append((planes, (h, w)))
     return out
+
+
+def _kernel_hw(bank: TemplateBank, det: cfg.DetectorConfig, l: int,
+               hd: int, wd: int) -> int:
+    """One-hot conv kernel side at level ``l``: the template span in
+    decimated cells (bank.max_span is the level-0 bbox side in px)."""
+    if bank.max_span <= 0:
+        return max(hd, wd)
+    return min((bank.max_span >> l) // det.t_at_level[l] + 1, max(hd, wd))
+
+
+def build_match_kernels(bank: TemplateBank, det: cfg.DetectorConfig,
+                        grid_hw=None):
+    """Per-level one-hot conv kernels (N, C_all, kh, kh) bf16.
+
+    Kernel ``w[n, c, dy, dx] = 1`` iff template ``n`` has a valid feature
+    with channel ``c = m*8*T^2 + label*T^2 + (y%T)*T + (x%T)`` at
+    decimated offset ``(y//T, x//T)``.  Template scoring is then one
+    2D correlation per level on the MXU — the TPU reformulation of the
+    reference's linear-memory SSE adds (linemod.cpp:1130-1214).  Frame
+    independent: precompute per bank (engine caches them); also traceable
+    under jit (scatter-add) for ad-hoc paths.
+    """
+    n = bank.capacity
+    kernels = []
+    for l in range(bank.levels):
+        t = det.t_at_level[l]
+        if grid_hw is None:
+            hd = det.image_height >> l
+            wd = det.image_width >> l
+            hd, wd = hd // t, wd // t
+        else:
+            hd, wd = grid_hw[l]
+        k = _kernel_hw(bank, det, l, hd, wd)
+        c_all = bank.modalities * 8 * t * t
+        w = jnp.zeros((n, c_all, k, k), jnp.float32)
+        nidx = jnp.broadcast_to(jnp.arange(n)[:, None],
+                                bank.feat_x.shape[0:1]
+                                + bank.feat_x.shape[3:4])
+        for m in range(bank.modalities):
+            fx = bank.feat_x[:, l, m]
+            fy = bank.feat_y[:, l, m]
+            fl = bank.feat_label[:, l, m]
+            fv = bank.feat_valid[:, l, m]
+            c = m * 8 * t * t + fl * (t * t) + (fy % t) * t + (fx % t)
+            w = w.at[nidx, c, fy // t, fx // t].add(
+                fv.astype(jnp.float32), mode="drop")
+        kernels.append(w.astype(jnp.bfloat16))
+    return tuple(kernels)
+
+
+def _conv_scores(planes: jax.Array, w: jax.Array) -> jax.Array:
+    """(C, Hd, Wd) u8 responses x (N, C, kh, kw) one-hot kernels ->
+    (N, Hd, Wd) f32 raw scores (exact: responses 0..4 and 0/1 weights are
+    exact in bf16; the MXU accumulates in f32)."""
+    kh, kw = w.shape[2], w.shape[3]
+    out = jax.lax.conv_general_dilated(
+        planes[None].astype(jnp.bfloat16), w,
+        window_strides=(1, 1),
+        padding=((0, kh - 1), (0, kw - 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return out[0]
 
 
 def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                threshold: float, det: cfg.DetectorConfig,
-               masks: Optional[List] = None) -> Matches:
-    """Full match over the template bank. All shapes static; jit-safe."""
+               masks: Optional[List] = None,
+               kernels=None) -> Matches:
+    """Full match over the template bank. All shapes static; jit-safe.
+
+    ``kernels`` are the per-level one-hot conv kernels from
+    :func:`build_match_kernels`; pass precomputed ones to skip the
+    scatter-build (they depend only on the bank)."""
     levels = quantized_pyramid(bgr, depth_mm, det, masks)
-    lms = linear_memories(levels, det)
-    return match_from_memories(bank, lms, threshold, det)
+    planes = response_planes(levels, det)
+    return match_from_planes(bank, planes, threshold, det, kernels)
 
 
-def match_from_memories(bank: TemplateBank, lms, threshold: float,
-                        det: cfg.DetectorConfig) -> Matches:
-    n_mod = bank.modalities
+def match_from_planes(bank: TemplateBank, planes, threshold: float,
+                      det: cfg.DetectorConfig, kernels=None) -> Matches:
+    """Score the bank against decimated response planes.
+
+    Every level computes DENSE all-template, all-position scores with one
+    one-hot conv on the MXU (:func:`_conv_scores`); the coarse level feeds
+    static top-K selection, finer levels are read through 16x16 windows
+    around each surviving candidate — semantics of matchClass
+    (linemod.cpp:1451-1577) except that candidates whose template would
+    wrap across the row end score their true (zero-padded) value instead
+    of the reference's flat-buffer wraparound mixture, and candidate
+    positions are restricted to non-wrapping ones (a strict improvement:
+    wrapped scores are noise the reference filters only implicitly)."""
     l_coarse = det.pyramid_levels - 1
     t_c = det.t_at_level[l_coarse]
-    dpad, _, (h_c, w_c), _ = lms[l_coarse]
+    d_c, (h_c, w_c) = planes[l_coarse]
     hd, wd = h_c // t_c, w_c // t_c
     p = hd * wd
     n = bank.capacity
     k = det.max_candidates
+    if kernels is None:
+        kernels = build_match_kernels(
+            bank, det, grid_hw=[(pl_[0].shape[1], pl_[0].shape[2])
+                                for pl_ in planes])
 
-    # --- Coarse whole-image scores at the lowest level (linemod.cpp:1462-1506)
-    raw = jnp.zeros((n, p), jnp.int32)
-    for m in range(n_mod):
-        c, off = similarity.pack_features(
-            bank.feat_x[:, l_coarse, m], bank.feat_y[:, l_coarse, m],
-            bank.feat_label[:, l_coarse, m], t_c, wd)
-        raw = raw + similarity.whole_image_similarity(
-            dpad[m], c, off, bank.feat_valid[:, l_coarse, m], p)
+    # --- Coarse dense scores at the lowest level (linemod.cpp:1462-1506)
+    raw = _conv_scores(d_c, kernels[l_coarse])          # (N, Hd, Wd) f32
 
     nf = bank.num_features()                  # (N, L)
     nf_c = nf[:, l_coarse]
@@ -149,13 +218,14 @@ def match_from_memories(bank: TemplateBank, lms, threshold: float,
                + 0.5).astype(jnp.int32)
     wf = (bank.width[:, l_coarse] - 1) // t_c + 1
     hf = (bank.height[:, l_coarse] - 1) // t_c + 1
-    template_positions = (hd - hf) * wd + (wd - wf) + 1
-    pos = jnp.arange(p)[None, :]
-    cand_ok = ((raw > raw_thr[:, None])
-               & (pos < template_positions[:, None])
-               & bank.valid[:, None])
-    score = raw.astype(jnp.float32) * 100.0 / (4 * jnp.maximum(nf_c, 1)
-                                               )[:, None].astype(jnp.float32)
+    px_idx = jnp.arange(wd)[None, None, :]
+    py_idx = jnp.arange(hd)[None, :, None]
+    cand_ok = ((raw.astype(jnp.int32) > raw_thr[:, None, None])
+               & (px_idx <= (wd - wf)[:, None, None])
+               & (py_idx <= (hd - hf)[:, None, None])
+               & bank.valid[:, None, None])
+    score = (raw * 100.0
+             / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5
     flat = jnp.where(cand_ok, score, -jnp.inf).reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, k)
@@ -167,11 +237,11 @@ def match_from_memories(bank: TemplateBank, lms, threshold: float,
     sim = top_scores
     valid = jnp.isfinite(top_scores)
 
-    # --- Local refinement up the pyramid (linemod.cpp:1509-1573)
+    # --- Local refinement up the pyramid (linemod.cpp:1509-1573):
+    # dense conv scores again, then 16x16 windows around each candidate.
     for l in range(det.pyramid_levels - 2, -1, -1):
         t = det.t_at_level[l]
-        _, dflat, (h, w), stride = lms[l]
-        wd_l = w // t
+        d_l, (h, w) = planes[l]
         border = 8 * t
         offs = _offset(t)
         width_l = bank.width[tslot, l]
@@ -181,28 +251,23 @@ def match_from_memories(bank: TemplateBank, lms, threshold: float,
         x = jnp.minimum(jnp.maximum(x * 2 + 1, border), w - width_l - border)
         y = jnp.minimum(jnp.maximum(y * 2 + 1, border), h - height_l - border)
 
-        total = jnp.zeros((k, 256), jnp.int32)
-        for m in range(n_mod):
-            fx = bank.feat_x[tslot, l, m]          # (K, F)
-            fy = bank.feat_y[tslot, l, m]
-            fl = bank.feat_label[tslot, l, m]
-            fv = bank.feat_valid[tslot, l, m]
-            off_x = (x // t - 8) * t               # (K,)
-            off_y = (y // t - 8) * t
-            px = fx + off_x[:, None]
-            py = fy + off_y[:, None]
-            in_bounds = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-            c = fl * (t * t) + (fy % t) * t + (fx % t)
-            base = (py // t) * wd_l + (px // t)
-            total = total + similarity.local_similarity(
-                dflat[m], c, base, fv & in_bounds, stride, wd_l)
+        scores_l = _conv_scores(d_l, kernels[l])        # (N, Hd, Wd)
+        win = similarity.LOCAL_WINDOW
+        scores_pad = jnp.pad(scores_l, ((0, 0), (0, win), (0, win)))
+        px0 = x // t - 8
+        py0 = y // t - 8
+        window = jax.vmap(
+            lambda s, r0, c0: jax.lax.dynamic_slice(
+                scores_pad[s], (r0, c0), (win, win))
+        )(tslot, py0, px0)                              # (K, 16, 16)
+        total = window.reshape(k, win * win)
 
         best = jnp.max(total, axis=1)
         best_idx = jnp.argmax(total, axis=1)       # first max, row-major
-        best_r, best_c = best_idx // 16, best_idx % 16
+        best_r, best_c = best_idx // win, best_idx % win
         x = (x // t - 8 + best_c) * t + offs
         y = (y // t - 8 + best_r) * t + offs
-        sim = best.astype(jnp.float32) * 100.0 / (4 * nf_l).astype(jnp.float32)
+        sim = best * 100.0 / (4 * nf_l).astype(jnp.float32)
         valid = valid & (sim >= jnp.float32(threshold))
 
     # --- Final ordering + duplicate suppression (linemod.cpp:1437-1439)
@@ -224,17 +289,18 @@ def match_from_memories(bank: TemplateBank, lms, threshold: float,
 
 @functools.partial(jax.jit, static_argnames=("threshold", "det"))
 def match_bank_jit(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
-                   threshold: float, det: cfg.DetectorConfig) -> Matches:
-    return match_bank(bank, bgr, depth_mm, threshold, det)
+                   threshold: float, det: cfg.DetectorConfig,
+                   kernels=None) -> Matches:
+    return match_bank(bank, bgr, depth_mm, threshold, det, kernels=kernels)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "det"))
 def match_bank_masked_jit(bank: TemplateBank, bgr: jax.Array,
                           depth_mm: jax.Array, roi_mask: jax.Array,
                           threshold: float,
-                          det: cfg.DetectorConfig) -> Matches:
+                          det: cfg.DetectorConfig, kernels=None) -> Matches:
     """Match gated by a level-0 ROI mask applied to both modalities (the
     KCF-gated re-detection path of the reference demo,
     test/linemod_acq.cpp:136-191)."""
     return match_bank(bank, bgr, depth_mm, threshold, det,
-                      masks=[roi_mask, roi_mask])
+                      masks=[roi_mask, roi_mask], kernels=kernels)

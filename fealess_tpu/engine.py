@@ -67,6 +67,7 @@ class ObjReco:
     def __init__(self, engine_cfg: Optional[cfg.EngineConfig] = None):
         self.cfg = engine_cfg or cfg.EngineConfig()
         self.bank: Optional[TemplateBank] = None
+        self._kernels = None
         self._model_depth: Optional[np.ndarray] = None   # (N, CROP, CROP) u16 mm
         self._depth_origin: dict = {}                    # slot -> crop origin
         self._feature_path = ""
@@ -106,6 +107,10 @@ class ObjReco:
         self.bank = pack_bank(classes, levels=det_cfg.pyramid_levels,
                               capacity=self.cfg.detector.max_templates,
                               max_features=det_cfg.max_features)
+        # one-hot conv kernels for the dense scorer: bank-dependent only,
+        # build once here instead of per frame
+        self._kernels = det_mod.build_match_kernels(self.bank,
+                                                    self.cfg.detector)
         self._load_model_depths(classes)
 
     def _load_model_depths(self, classes) -> None:
@@ -143,6 +148,76 @@ class ObjReco:
 
     def set_roi(self, roi_mask: np.ndarray) -> None:
         """SetROI is a stub in the reference (obj_reco_lmicp.cpp:81-84)."""
+
+    # -- advanced params (Set/GetAdvancedParam are stubs in the reference,
+    # obj_reco_lmicp.cpp:206-214; here they actually reconfigure)
+    _PARAM_PATHS = {
+        "matching_threshold": ("matching_threshold",),
+        "icp_iterations": ("icp", "max_iterations"),
+        "icp_dist_mean_threshold": ("icp", "dist_mean_threshold"),
+        "icp_dist_diff_threshold": ("icp", "dist_diff_threshold"),
+        "icp_mode": ("icp", "mode"),
+        "max_objects": ("max_objects",),
+        "nms_object_distance": ("nms_object_distance",),
+    }
+
+    def set_advanced_param(self, name: str, value) -> None:
+        path = self._PARAM_PATHS.get(name)
+        if path is None:
+            raise KeyError(f"unknown advanced param {name!r}; "
+                           f"known: {sorted(self._PARAM_PATHS)}")
+        if len(path) == 1:
+            self.cfg = dataclasses.replace(self.cfg, **{path[0]: value})
+        else:
+            sub = getattr(self.cfg, path[0])
+            sub = dataclasses.replace(sub, **{path[1]: value})
+            self.cfg = dataclasses.replace(self.cfg, **{path[0]: sub})
+
+    def get_advanced_param(self, name: str):
+        path = self._PARAM_PATHS[name]
+        obj = self.cfg
+        for p in path:
+            obj = getattr(obj, p)
+        return obj
+
+    def compute_pose_epnp(self, model_depth_raw: np.ndarray,
+                          match_x: int, match_y: int,
+                          pose_init_4x4: np.ndarray,
+                          cam: CamIntrinsics) -> Optional[np.ndarray]:
+        """The reference's dormant EPNP pose path (``ComputePose`` behind
+        EPNP_LM, obj_reco_lmicp.cpp:275-348): back-project the template's
+        masked depth pixels into the model frame with the initial pose,
+        pair them with their scene pixel positions at the match offset,
+        and solvePnP-EPNP for the pose.  ``model_depth_raw`` is the stored
+        0.1mm-unit u16 png."""
+        import cv2
+        raw = np.asarray(model_depth_raw)
+        sentinel = raw[0, 0]
+        ii, jj = np.nonzero(raw < sentinel)
+        z = raw[ii, jj].astype(np.float32) * self.cfg.model_depth_scale
+        ok = z >= 10.0                      # EFFECTIVE_DEPTH gate
+        ii, jj, z = ii[ok], jj[ok], z[ok]
+        if len(z) < 4:
+            return None
+        k = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy],
+                      [0, 0, 1]], np.float64)
+        inv_k = np.linalg.inv(k)
+        pix = np.stack([jj, ii, np.ones_like(jj)], axis=0).astype(np.float64)
+        xc = (inv_k @ pix) * z[None, :]
+        r = np.asarray(pose_init_4x4, np.float64)[:3, :3]
+        t = np.asarray(pose_init_4x4, np.float64)[:3, 3]
+        xw = (r.T @ (xc - t[:, None])).T.astype(np.float32)
+        img_pts = np.stack([jj + match_x, ii + match_y],
+                           axis=-1).astype(np.float32)
+        ok2, rvec, tvec = cv2.solvePnP(xw, img_pts, k, None,
+                                       flags=cv2.SOLVEPNP_EPNP)
+        if not ok2:
+            return None
+        rot, _ = cv2.Rodrigues(rvec)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = rot
+        pose[:3, 3] = tvec[:, 0]
+        return pose
 
     def _origins_array(self) -> np.ndarray:
         out = np.zeros((self.bank.capacity, 2), np.int32)
@@ -190,7 +265,8 @@ class ObjReco:
         step = pipeline.recognize_multi_jit(
             self.bank, jnp.asarray(self._model_depth),
             jnp.asarray(self._origins_array()), jnp.asarray(rgb_bgr),
-            jnp.asarray(depth_u16), scene_k, self.cfg, m)
+            jnp.asarray(depth_u16), scene_k, self.cfg, m,
+            kernels=self._kernels)
         keep = np.asarray(step.valid)
         widths = np.asarray(self.bank.width)[:, 0]
         heights = np.asarray(self.bank.height)[:, 0]
@@ -225,12 +301,14 @@ class ObjReco:
         if roi_mask is None:
             matches = det_mod.match_bank_jit(
                 self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
-                float(self.cfg.matching_threshold), d)
+                float(self.cfg.matching_threshold), d,
+                kernels=self._kernels)
         else:
             matches = det_mod.match_bank_masked_jit(
                 self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
                 jnp.asarray(roi_mask.astype(bool)),
-                float(self.cfg.matching_threshold), d)
+                float(self.cfg.matching_threshold), d,
+                kernels=self._kernels)
         valid = np.asarray(matches.valid)
         if not valid.any():
             return []

@@ -54,12 +54,13 @@ def save_bank(directory: str, bank: TemplateBank,
     os.makedirs(directory, exist_ok=True)
     arrays = {f.name: getattr(bank, f.name)
               for f in dataclasses.fields(bank)
-              if f.name != "class_names"}
+              if f.metadata.get("pytree_node", True)}
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(os.path.join(directory, _ARRAYS))
     ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
     meta = {"class_names": list(bank.class_names),
+            "max_span": bank.max_span,
             "detector": _det_to_dict(det) if det else None,
             "format_version": 1}
     with open(os.path.join(directory, _META), "w") as fh:
@@ -80,6 +81,7 @@ def load_bank(directory: str
     arrays = ckptr.restore(os.path.abspath(
         os.path.join(directory, _ARRAYS)))
     bank = TemplateBank(class_names=tuple(meta["class_names"]),
+                        max_span=int(meta.get("max_span", 0)),
                         **{k: jnp.asarray(v) for k, v in arrays.items()})
     det = _det_from_dict(meta["detector"]) if meta["detector"] else None
     return bank, det

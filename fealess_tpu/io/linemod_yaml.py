@@ -81,40 +81,8 @@ def load_linemod(path: str) -> Tuple[cfg.DetectorConfig,
         classes: Dict[str, List[TemplateView]] = {}
         cls_node = root.getNode("classes")
         for ci in range(cls_node.size()):
-            c = cls_node.at(ci)
-            class_id = c.getNode("class_id").string()
-            assert int(c.getNode("pyramid_levels").real()) == levels
-            views: List[TemplateView] = []
-            tps = c.getNode("template_pyramids")
-            for ti in range(tps.size()):
-                tp = tps.at(ti)
-                assert int(tp.getNode("template_id").real()) == ti
-                pose = np.asarray(_read_float_seq(tp.getNode("template_pose")),
-                                  np.float32)
-                templates = tp.getNode("templates")
-                assert templates.size() == levels * n_mod
-                feats = [[None] * n_mod for _ in range(levels)]
-                width = [0] * levels
-                height = [0] * levels
-                off_x = [0] * levels
-                off_y = [0] * levels
-                for j in range(templates.size()):
-                    t = templates.at(j)
-                    l = int(t.getNode("pyramid_level").real())
-                    m = j % n_mod
-                    assert j // n_mod == l, "unexpected template order"
-                    fnode = t.getNode("features")
-                    arr = np.zeros((fnode.size(), 3), np.int32)
-                    for k in range(fnode.size()):
-                        arr[k] = _read_int_seq(fnode.at(k))
-                    feats[l][m] = arr
-                    width[l] = int(t.getNode("width").real())
-                    height[l] = int(t.getNode("height").real())
-                    off_x[l] = int(t.getNode("offset_x").real())
-                    off_y[l] = int(t.getNode("offset_y").real())
-                views.append(TemplateView(features=feats, width=width,
-                                          height=height, offset_x=off_x,
-                                          offset_y=off_y, pose=pose))
+            class_id, views = _read_class_node(cls_node.at(ci), levels,
+                                               n_mod)
             classes[class_id] = views
 
         det = cfg.DetectorConfig(t_at_level=t_at_level, color_gradient=cg,
@@ -122,6 +90,45 @@ def load_linemod(path: str) -> Tuple[cfg.DetectorConfig,
         return det, classes
     finally:
         fs.release()
+
+
+def _read_class_node(c, levels: int, n_mod: int):
+    """One class map -> (class_id, views) (Detector::readClass,
+    linemod.cpp:1711-1762)."""
+    class_id = c.getNode("class_id").string()
+    assert int(c.getNode("pyramid_levels").real()) == levels
+    views: List[TemplateView] = []
+    tps = c.getNode("template_pyramids")
+    for ti in range(tps.size()):
+        tp = tps.at(ti)
+        assert int(tp.getNode("template_id").real()) == ti
+        pose = np.asarray(_read_float_seq(tp.getNode("template_pose")),
+                          np.float32)
+        templates = tp.getNode("templates")
+        assert templates.size() == levels * n_mod
+        feats = [[None] * n_mod for _ in range(levels)]
+        width = [0] * levels
+        height = [0] * levels
+        off_x = [0] * levels
+        off_y = [0] * levels
+        for j in range(templates.size()):
+            t = templates.at(j)
+            l = int(t.getNode("pyramid_level").real())
+            m = j % n_mod
+            assert j // n_mod == l, "unexpected template order"
+            fnode = t.getNode("features")
+            arr = np.zeros((fnode.size(), 3), np.int32)
+            for k in range(fnode.size()):
+                arr[k] = _read_int_seq(fnode.at(k))
+            feats[l][m] = arr
+            width[l] = int(t.getNode("width").real())
+            height[l] = int(t.getNode("height").real())
+            off_x[l] = int(t.getNode("offset_x").real())
+            off_y[l] = int(t.getNode("offset_y").real())
+        views.append(TemplateView(features=feats, width=width,
+                                  height=height, offset_x=off_x,
+                                  offset_y=off_y, pose=pose))
+    return class_id, views
 
 
 def save_linemod(path: str, det: cfg.DetectorConfig,
@@ -155,48 +162,84 @@ def save_linemod(path: str, det: cfg.DetectorConfig,
 
         fs.startWriteStruct("classes", cv2.FILE_NODE_SEQ)
         for class_id in sorted(classes.keys()):
-            views = classes[class_id]
             fs.startWriteStruct("", cv2.FILE_NODE_MAP)
-            fs.write("class_id", class_id)
-            fs.startWriteStruct("modalities",
-                                cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
-            fs.write("", CG_NAME)
-            fs.write("", DN_NAME)
-            fs.endWriteStruct()
-            fs.write("pyramid_levels", det.pyramid_levels)
-            fs.startWriteStruct("template_pyramids", cv2.FILE_NODE_SEQ)
-            for ti, v in enumerate(views):
-                fs.startWriteStruct("", cv2.FILE_NODE_MAP)
-                fs.write("template_id", ti)
-                fs.startWriteStruct("template_pose",
-                                    cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
-                for p in np.asarray(v.pose, np.float64):
-                    fs.write("", float(p))
-                fs.endWriteStruct()
-                fs.startWriteStruct("templates", cv2.FILE_NODE_SEQ)
-                for l in range(det.pyramid_levels):
-                    for m in range(2):
-                        fs.startWriteStruct("", cv2.FILE_NODE_MAP)
-                        fs.write("width", int(v.width[l]))
-                        fs.write("height", int(v.height[l]))
-                        fs.write("offset_x", int(v.offset_x[l]))
-                        fs.write("offset_y", int(v.offset_y[l]))
-                        fs.write("pyramid_level", l)
-                        fs.startWriteStruct("features", cv2.FILE_NODE_SEQ)
-                        for (x, y, label) in np.asarray(v.features[l][m],
-                                                        np.int64):
-                            fs.startWriteStruct(
-                                "", cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
-                            fs.write("", int(x))
-                            fs.write("", int(y))
-                            fs.write("", int(label))
-                            fs.endWriteStruct()
-                        fs.endWriteStruct()
-                        fs.endWriteStruct()
-                fs.endWriteStruct()
-                fs.endWriteStruct()
-            fs.endWriteStruct()
+            _write_class_fields(fs, class_id, det, classes[class_id])
             fs.endWriteStruct()
         fs.endWriteStruct()
     finally:
         fs.release()
+
+
+def _write_class_fields(fs, class_id: str, det: cfg.DetectorConfig,
+                        views: List[TemplateView]) -> None:
+    """Class fields (Detector::writeClass, linemod.cpp:1764-1794), written
+    into the currently open map/root."""
+    fs.write("class_id", class_id)
+    fs.startWriteStruct("modalities",
+                        cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
+    fs.write("", CG_NAME)
+    fs.write("", DN_NAME)
+    fs.endWriteStruct()
+    fs.write("pyramid_levels", det.pyramid_levels)
+    fs.startWriteStruct("template_pyramids", cv2.FILE_NODE_SEQ)
+    for ti, v in enumerate(views):
+        fs.startWriteStruct("", cv2.FILE_NODE_MAP)
+        fs.write("template_id", ti)
+        fs.startWriteStruct("template_pose",
+                            cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
+        for p in np.asarray(v.pose, np.float64):
+            fs.write("", float(p))
+        fs.endWriteStruct()
+        fs.startWriteStruct("templates", cv2.FILE_NODE_SEQ)
+        for l in range(det.pyramid_levels):
+            for m in range(2):
+                fs.startWriteStruct("", cv2.FILE_NODE_MAP)
+                fs.write("width", int(v.width[l]))
+                fs.write("height", int(v.height[l]))
+                fs.write("offset_x", int(v.offset_x[l]))
+                fs.write("offset_y", int(v.offset_y[l]))
+                fs.write("pyramid_level", l)
+                fs.startWriteStruct("features", cv2.FILE_NODE_SEQ)
+                for (x, y, label) in np.asarray(v.features[l][m],
+                                                np.int64):
+                    fs.startWriteStruct(
+                        "", cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
+                    fs.write("", int(x))
+                    fs.write("", int(y))
+                    fs.write("", int(label))
+                    fs.endWriteStruct()
+                fs.endWriteStruct()
+                fs.endWriteStruct()
+        fs.endWriteStruct()
+        fs.endWriteStruct()
+    fs.endWriteStruct()
+
+
+def save_classes(fmt: str, det: cfg.DetectorConfig,
+                 classes: Dict[str, List[TemplateView]]) -> None:
+    """Per-class files (Detector::writeClasses, linemod.cpp:1808-1818):
+    ``fmt`` is a %s-format path, e.g. ``dir/templates_%s.yml.gz``."""
+    for class_id in sorted(classes.keys()):
+        fs = cv2.FileStorage(fmt % class_id, cv2.FILE_STORAGE_WRITE)
+        if not fs.isOpened():
+            raise IOError(f"cannot open {fmt % class_id} for writing")
+        try:
+            _write_class_fields(fs, class_id, det, classes[class_id])
+        finally:
+            fs.release()
+
+
+def load_classes(fmt: str, class_ids: List[str], levels: int = 2,
+                 n_mod: int = 2) -> Dict[str, List[TemplateView]]:
+    """Per-class files (Detector::readClasses, linemod.cpp:1796-1806)."""
+    out: Dict[str, List[TemplateView]] = {}
+    for cid in class_ids:
+        fs = cv2.FileStorage(fmt % cid, cv2.FILE_STORAGE_READ)
+        if not fs.isOpened():
+            raise IOError(f"cannot open {fmt % cid}")
+        try:
+            class_id, views = _read_class_node(fs.root(), levels, n_mod)
+            out[class_id] = views
+        finally:
+            fs.release()
+    return out

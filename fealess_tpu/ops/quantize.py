@@ -48,10 +48,12 @@ def quantize_gradients(src_bgr: jax.Array, weak_threshold: float):
     # if (m0 >= m1 && m0 >= m2) ch0; elif (m1 >= m0 && m1 >= m2) ch1; else ch2
     pick0 = (m0 >= m1) & (m0 >= m2)
     pick1 = (~pick0) & (m1 >= m0) & (m1 >= m2)
-    sel = jnp.where(pick0, 0, jnp.where(pick1, 1, 2))
 
     def _take(a):
-        return jnp.take_along_axis(a, sel[..., None], axis=-1)[..., 0]
+        # channel select as arithmetic (a 3-way gather along the minor axis
+        # costs ~8ms at 640x480 on TPU; two selects are free)
+        return jnp.where(pick0, a[..., 0],
+                         jnp.where(pick1, a[..., 1], a[..., 2]))
 
     sdx = _take(dx).astype(jnp.float32)
     sdy = _take(dy).astype(jnp.float32)

@@ -75,6 +75,27 @@ def decimate(resp: jax.Array, t: int) -> jax.Array:
     return x.reshape(c * t * t, hd * wd)
 
 
+def decimate_2d(resp: jax.Array, t: int) -> jax.Array:
+    """(8, H, W) responses -> (8*T*T, H/T, W/T) decimated planes.
+
+    Same channel order as :func:`decimate` but keeping the 2D position
+    grid — the layout consumed by the dense conv scorer
+    (fealess_tpu.detector), where template matching is a one-hot-kernel
+    2D correlation on the MXU.
+    """
+    c, h, w = resp.shape
+    assert h % t == 0 and w % t == 0, (h, w, t)
+    hd, wd = h // t, w // t
+    x = resp.reshape(c, hd, t, wd, t)
+    x = x.transpose(0, 2, 4, 1, 3)            # (8, T, T, Hd, Wd)
+    return x.reshape(c * t * t, hd, wd)
+
+
 def build_level(quantized: jax.Array, t: int) -> jax.Array:
     """quantized bitmask image -> decimated response tensor for one level."""
     return decimate(response_maps(spread(quantized, t)), t)
+
+
+def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
+    """quantized bitmask image -> (8*T*T, H/T, W/T) decimated responses."""
+    return decimate_2d(response_maps(spread(quantized, t)), t)

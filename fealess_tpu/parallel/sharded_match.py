@@ -79,7 +79,7 @@ def match_bank_sharded(bank: TemplateBank, bgr: jax.Array,
         feat_valid=P(axis), width=P(axis), height=P(axis),
         offset_x=P(axis), offset_y=P(axis), pose=P(axis),
         class_idx=P(axis), template_idx=P(axis), valid=P(axis),
-        class_names=class_names)
+        class_names=class_names, max_span=bank.max_span)
 
     fn = shard_map(local_match, mesh=mesh,
                    in_specs=(bank_specs, P(), P()),

@@ -145,9 +145,10 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
 @functools.partial(jax.jit, static_argnames=("engine", "max_objects"))
 def recognize_multi_jit(bank, model_depth_stack, depth_origins, bgr,
                         scene_depth_u16, scene_k, engine: cfg.EngineConfig,
-                        max_objects: int) -> "MultiRecoStep":
+                        max_objects: int, kernels=None) -> "MultiRecoStep":
     return recognize_multi(bank, model_depth_stack, depth_origins, bgr,
-                           scene_depth_u16, scene_k, engine, max_objects)
+                           scene_depth_u16, scene_k, engine, max_objects,
+                           kernels)
 
 
 @functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
@@ -210,7 +211,7 @@ def _refine_candidate(bank, model_depth_stack, depth_origins,
 def recognize_top1(bank, model_depth_stack: jax.Array,
                    depth_origins: jax.Array, bgr: jax.Array,
                    scene_depth_u16: jax.Array, scene_k: jax.Array,
-                   engine: cfg.EngineConfig) -> RecoStep:
+                   engine: cfg.EngineConfig, kernels=None) -> RecoStep:
     """The full Recognition step as ONE jittable function: match the whole
     bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
     gather its model depth/pose and ICP-refine — no host round trip
@@ -230,7 +231,8 @@ def recognize_top1(bank, model_depth_stack: jax.Array,
     d = engine.detector
     crop = model_depth_stack.shape[-1]
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
-                                 engine.matching_threshold, d)
+                                 engine.matching_threshold, d,
+                                 kernels=kernels)
     # Matches are sorted (similarity desc, template asc); slot 0 is the
     # best candidate and `valid[0]` says whether any survived.
     slot = matches.template_slot[0]
@@ -266,7 +268,7 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
                     depth_origins: jax.Array, bgr: jax.Array,
                     scene_depth_u16: jax.Array, scene_k: jax.Array,
                     engine: cfg.EngineConfig,
-                    max_objects: int) -> MultiRecoStep:
+                    max_objects: int, kernels=None) -> MultiRecoStep:
     """Multi-object Recognition: match the bank, ICP-refine the top-M
     candidates in parallel (vmap — the reference refines top-1 only,
     obj_reco_lmicp.cpp:111; its detection()+NMS path ICP/NMS.cpp:6-40 is
@@ -278,7 +280,8 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
     d = engine.detector
     crop = model_depth_stack.shape[-1]
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
-                                 engine.matching_threshold, d)
+                                 engine.matching_threshold, d,
+                                 kernels=kernels)
     m = max_objects
     slots = matches.template_slot[:m]
     mxs = matches.x[:m]

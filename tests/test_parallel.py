@@ -81,3 +81,33 @@ def test_sharded_icp_equals_local(rng):
     np.testing.assert_allclose(np.asarray(dist.t), np.asarray(local.t),
                                atol=1e-3)
     assert int(dist.iterations) == int(local.iterations)
+
+
+def test_batch_recon_sharded_matches_single(scene_and_bank, det_cfg):
+    """Frame-sharded batch Recognition == single-device vmapped batch."""
+    from fealess_tpu.parallel import batch_recon
+
+    (bgr, depth), bank = scene_and_bank
+    engine = cfg.EngineConfig(detector=det_cfg, refine_crop=96,
+                              icp=cfg.IcpConfig(max_points=2048),
+                              template_fx=608.0, template_fy=608.0,
+                              template_cx=W / 2.0, template_cy=H / 2.0)
+    rng = np.random.default_rng(1)
+    md = jnp.asarray(rng.integers(400, 880, size=(bank.capacity, 96, 96),
+                                  dtype=np.uint16))
+    orig = jnp.zeros((bank.capacity, 2), jnp.int32)
+    kk = jnp.asarray([[608.0, 0, W / 2.0], [0, 608.0, H / 2.0], [0, 0, 1]],
+                     jnp.float32)
+    b = 8
+    bgr_b = jnp.broadcast_to(jnp.asarray(bgr), (b,) + bgr.shape)
+    depth_b = jnp.broadcast_to(jnp.asarray(depth), (b,) + depth.shape)
+
+    single = batch_recon.recognize_batch(bank, md, orig, bgr_b, depth_b,
+                                         kk, engine)
+    m = mesh_mod.make_mesh([("d", 8)])
+    sharded = batch_recon.recognize_batch_sharded(
+        bank, md, orig, bgr_b, depth_b, kk, engine, m)
+    np.testing.assert_allclose(np.asarray(sharded.similarity),
+                               np.asarray(single.similarity), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.pose),
+                               np.asarray(single.pose), atol=1e-2)
