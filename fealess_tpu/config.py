@@ -40,6 +40,9 @@ class DetectorConfig:
     image_height: int = 480
     color_gradient: ColorGradientConfig = ColorGradientConfig()
     depth_normal: DepthNormalConfig = DepthNormalConfig()
+    # Modality set: ("color_gradient", "depth_normal") = LINE-MOD;
+    # ("color_gradient",) = LINE (getDefaultLINE, linemod.cpp:1822-1827).
+    modalities: Tuple[str, ...] = ("color_gradient", "depth_normal")
     max_features: int = 63                 # u8 accumulator invariant (linemod.cpp:1137)
     max_templates: int = 1024              # static template-bank capacity
     max_candidates: int = 64               # static top-K carried through refinement
@@ -47,6 +50,16 @@ class DetectorConfig:
     @property
     def pyramid_levels(self) -> int:
         return len(self.t_at_level)
+
+
+def default_line() -> DetectorConfig:
+    """Gradient-only detector (getDefaultLINE, linemod.cpp:1822-1827)."""
+    return DetectorConfig(modalities=("color_gradient",))
+
+
+def default_linemod() -> DetectorConfig:
+    """Gradient + normal detector (getDefaultLINEMOD, linemod.cpp:1829-1835)."""
+    return DetectorConfig()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,22 +66,28 @@ def quantized_pyramid(bgr: jax.Array, depth_mm: jax.Array,
     721-739).  ``masks``, when given, is [cg_mask, dn_mask] at level 0.
     """
     cg, dn = det.color_gradient, det.depth_normal
+    use_cg = "color_gradient" in det.modalities
+    use_dn = "depth_normal" in det.modalities
     levels = []
     src = bgr
-    qdn = q.quantize_normals(depth_mm, dn.distance_threshold,
-                             dn.difference_threshold)
+    qdn = (q.quantize_normals(depth_mm, dn.distance_threshold,
+                              dn.difference_threshold) if use_dn else None)
     cg_mask = dn_mask = None
     if masks is not None:
-        cg_mask, dn_mask = masks
+        cg_mask, dn_mask = (masks * 2)[:2] if len(masks) == 1 else masks
     for l in range(det.pyramid_levels):
         if l > 0:
             src = fi.pyr_down_u8(src)
-            qdn = qdn[::2, ::2]
+            qdn = None if qdn is None else qdn[::2, ::2]
             cg_mask = None if cg_mask is None else cg_mask[::2, ::2]
             dn_mask = None if dn_mask is None else dn_mask[::2, ::2]
-        qcg = q.quantize_gradients(src, cg.weak_threshold)[0]
-        levels.append((q.apply_mask(qcg, cg_mask),
-                       q.apply_mask(qdn, dn_mask)))
+        mods = []
+        if use_cg:
+            qcg = q.quantize_gradients(src, cg.weak_threshold)[0]
+            mods.append(q.apply_mask(qcg, cg_mask))
+        if use_dn:
+            mods.append(q.apply_mask(qdn, dn_mask))
+        levels.append(tuple(mods))
     return levels
 
 

@@ -105,6 +105,7 @@ class ObjReco:
         if sum(len(v) for v in classes.values()) == 0:
             raise IOError(f"no classes in {yml}")  # ERROR_OPEN_FILE_FAILED
         self.bank = pack_bank(classes, levels=det_cfg.pyramid_levels,
+                              modalities=len(det_cfg.modalities),
                               capacity=self.cfg.detector.max_templates,
                               max_features=det_cfg.max_features)
         # one-hot conv kernels for the dense scorer: bank-dependent only,

@@ -42,6 +42,8 @@ def _det_from_dict(d: dict) -> cfg.DetectorConfig:
     cg = cfg.ColorGradientConfig(**d.pop("color_gradient"))
     dn = cfg.DepthNormalConfig(**d.pop("depth_normal"))
     d["t_at_level"] = tuple(d["t_at_level"])
+    if "modalities" in d:
+        d["modalities"] = tuple(d["modalities"])
     return cfg.DetectorConfig(color_gradient=cg, depth_normal=dn, **d)
 
 

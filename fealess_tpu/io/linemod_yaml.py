@@ -85,8 +85,11 @@ def load_linemod(path: str) -> Tuple[cfg.DetectorConfig,
                                                n_mod)
             classes[class_id] = views
 
+        name_map = {CG_NAME: "color_gradient", DN_NAME: "depth_normal"}
         det = cfg.DetectorConfig(t_at_level=t_at_level, color_gradient=cg,
-                                 depth_normal=dn)
+                                 depth_normal=dn,
+                                 modalities=tuple(name_map[m]
+                                                  for m in mod_names))
         return det, classes
     finally:
         fs.release()
@@ -145,19 +148,26 @@ def save_linemod(path: str, det: cfg.DetectorConfig,
         fs.endWriteStruct()
 
         fs.startWriteStruct("modalities", cv2.FILE_NODE_SEQ)
-        fs.startWriteStruct("", cv2.FILE_NODE_MAP)
-        fs.write("type", CG_NAME)
-        fs.write("weak_threshold", float(det.color_gradient.weak_threshold))
-        fs.write("num_features", int(det.color_gradient.num_features))
-        fs.write("strong_threshold", float(det.color_gradient.strong_threshold))
-        fs.endWriteStruct()
-        fs.startWriteStruct("", cv2.FILE_NODE_MAP)
-        fs.write("type", DN_NAME)
-        fs.write("distance_threshold", int(det.depth_normal.distance_threshold))
-        fs.write("difference_threshold", int(det.depth_normal.difference_threshold))
-        fs.write("num_features", int(det.depth_normal.num_features))
-        fs.write("extract_threshold", int(det.depth_normal.extract_threshold))
-        fs.endWriteStruct()
+        if "color_gradient" in det.modalities:
+            fs.startWriteStruct("", cv2.FILE_NODE_MAP)
+            fs.write("type", CG_NAME)
+            fs.write("weak_threshold",
+                     float(det.color_gradient.weak_threshold))
+            fs.write("num_features", int(det.color_gradient.num_features))
+            fs.write("strong_threshold",
+                     float(det.color_gradient.strong_threshold))
+            fs.endWriteStruct()
+        if "depth_normal" in det.modalities:
+            fs.startWriteStruct("", cv2.FILE_NODE_MAP)
+            fs.write("type", DN_NAME)
+            fs.write("distance_threshold",
+                     int(det.depth_normal.distance_threshold))
+            fs.write("difference_threshold",
+                     int(det.depth_normal.difference_threshold))
+            fs.write("num_features", int(det.depth_normal.num_features))
+            fs.write("extract_threshold",
+                     int(det.depth_normal.extract_threshold))
+            fs.endWriteStruct()
         fs.endWriteStruct()
 
         fs.startWriteStruct("classes", cv2.FILE_NODE_SEQ)
@@ -177,8 +187,10 @@ def _write_class_fields(fs, class_id: str, det: cfg.DetectorConfig,
     fs.write("class_id", class_id)
     fs.startWriteStruct("modalities",
                         cv2.FILE_NODE_SEQ | cv2.FILE_NODE_FLOW)
-    fs.write("", CG_NAME)
-    fs.write("", DN_NAME)
+    if "color_gradient" in det.modalities:
+        fs.write("", CG_NAME)
+    if "depth_normal" in det.modalities:
+        fs.write("", DN_NAME)
     fs.endWriteStruct()
     fs.write("pyramid_levels", det.pyramid_levels)
     fs.startWriteStruct("template_pyramids", cv2.FILE_NODE_SEQ)
@@ -192,7 +204,7 @@ def _write_class_fields(fs, class_id: str, det: cfg.DetectorConfig,
         fs.endWriteStruct()
         fs.startWriteStruct("templates", cv2.FILE_NODE_SEQ)
         for l in range(det.pyramid_levels):
-            for m in range(2):
+            for m in range(len(det.modalities)):
                 fs.startWriteStruct("", cv2.FILE_NODE_MAP)
                 fs.write("width", int(v.width[l]))
                 fs.write("height", int(v.height[l]))

@@ -189,37 +189,45 @@ def add_template(bgr: np.ndarray, depth_mm: np.ndarray,
     """
     cg, dn = det.color_gradient, det.depth_normal
     levels = det.pyramid_levels
+    use_cg = "color_gradient" in det.modalities
+    use_dn = "depth_normal" in det.modalities
 
     features: List[List[np.ndarray]] = []
     src = np.asarray(bgr)
     msk = None if mask is None else np.asarray(mask).astype(bool)
-    normal0 = np.asarray(q.quantize_normals(
+    normal = (np.asarray(q.quantize_normals(
         depth_mm.astype(np.uint16), dn.distance_threshold,
-        dn.difference_threshold))
+        dn.difference_threshold)) if use_dn else None)
 
     cg_nf, dn_nf = cg.num_features, dn.num_features
     dn_extract = dn.extract_threshold
-    normal = normal0
     for l in range(levels):
         if l > 0:
             src = np.asarray(fi.pyr_down_u8(src))
-            normal = normal[::2, ::2]
+            normal = None if normal is None else normal[::2, ::2]
             if msk is not None:
                 msk = msk[::2, ::2]
             cg_nf //= 2
             dn_nf //= 2
             dn_extract //= 2
 
-        angle_bits, magnitude = q.quantize_gradients(src, cg.weak_threshold)
-        cg_feats = extract_gradient_template(
-            np.asarray(angle_bits), np.asarray(magnitude), msk, cg_nf,
-            cg.strong_threshold)
-        if cg_feats is None:
-            return None
-        dn_feats = extract_normal_template(normal, msk, dn_nf, dn_extract)
-        if dn_feats is None:
-            return None
-        features.append([cg_feats, dn_feats])
+        mods: List[np.ndarray] = []
+        if use_cg:
+            angle_bits, magnitude = q.quantize_gradients(src,
+                                                         cg.weak_threshold)
+            cg_feats = extract_gradient_template(
+                np.asarray(angle_bits), np.asarray(magnitude), msk, cg_nf,
+                cg.strong_threshold)
+            if cg_feats is None:
+                return None
+            mods.append(cg_feats)
+        if use_dn:
+            dn_feats = extract_normal_template(normal, msk, dn_nf,
+                                               dn_extract)
+            if dn_feats is None:
+                return None
+            mods.append(dn_feats)
+        features.append(mods)
 
     width, height, off_x, off_y, _ = crop_template_view(features)
     return TemplateView(features=features, width=width, height=height,

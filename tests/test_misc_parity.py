@@ -89,3 +89,28 @@ def test_visualize_overlays(trained, det_cfg):  # noqa: F811
     visualize.blit_template(base, tpl, (W - 10, H - 10))   # clipped blit
     assert base[H - 10:, W - 10:].max() == 200
     assert base[:H - 10, :].max() == 0
+
+
+def test_line_gradient_only_detector(scene, trained):  # noqa: F811
+    """getDefaultLINE parity: gradient-only modality trains and matches
+    (linemod.cpp:1822-1827)."""
+    import jax.numpy as jnp
+
+    from fealess_tpu import detector, training
+    from fealess_tpu.bank import pack_bank
+
+    line_cfg = cfg.default_line()
+    line_cfg = cfg.dataclasses.replace(line_cfg, image_width=W,
+                                       image_height=H, max_candidates=8)
+    bgr, depth, mask = scene
+    pose = np.arange(13, dtype=np.float32)
+    view = training.add_template(bgr, depth, mask, pose, line_cfg)
+    assert view is not None
+    assert len(view.features[0]) == 1           # one modality
+    bank = pack_bank({"obj": [view]}, levels=line_cfg.pyramid_levels,
+                     modalities=1, capacity=2)
+    m = detector.match_bank_jit(bank, jnp.asarray(bgr), jnp.asarray(depth),
+                                75.0, line_cfg)
+    v = np.asarray(m.valid)
+    assert v[0], "LINE detector must find its own training view"
+    assert float(np.asarray(m.similarity)[0]) >= 95.0
