@@ -17,10 +17,12 @@ per-call host materialization would measure the ~30ms tunnel round-trip
 instead of the ~5ms device step (the production serving loop keeps frames
 streaming on device).
 
-Baseline: the reference publishes no numbers (BASELINE.md); ``15 fps`` is
-a single-core C++ LINE-MOD+ICP ballpark at this operating point, to be
-replaced by a measured number once the C++ reference build is benchmarked
-(BASELINE.json targets >=10x).
+Baseline: the reference publishes no numbers (BASELINE.md), so it was
+MEASURED here: the unmodified reference sources compiled -O3 -msse3
+-mssse3 (all SSE fast paths live) and driven through
+CObjRecoCAD::Recognition single-core on the same operating point and
+template count reach 15.7-16.6 fps (benchmarks/reference/run_baseline.py,
+table in BASELINE.md).  BASELINE_FPS pins the best measured run.
 """
 
 import json
@@ -28,7 +30,7 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 15.0        # single-core CPU estimate, see module docstring
+BASELINE_FPS = 16.6        # measured single-core C++ reference, BASELINE.md
 N_TEMPLATES = 128
 WARMUP = 3
 ITERS = 50
