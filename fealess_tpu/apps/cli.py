@@ -12,10 +12,10 @@ data layouts:
 - ``eval``      — ADD/rotation/translation metrics against ground-truth
                   poses (no reference equivalent; SURVEY.md §4c).
 - ``bench``     — the single-chip throughput benchmark (bench.py).
-
-There is no RealSense capture here (``linemod_acq``'s hardware path);
-frame streams come from image series directories (gray/ + depth/ pngs,
-the layout of CImgSeriesReader + the training package).
+- ``acq``       — capture/dump frames into the scan-package layout
+                  (linemod_acq.cpp:10-102, minus the RealSense hardware:
+                  sources are camera index / video / image dir via
+                  apps.acquire).
 """
 
 from __future__ import annotations
@@ -243,6 +243,17 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_acq(args) -> int:
+    from fealess_tpu.apps.acquire import acquire_series
+    source = int(args.source) if args.source.isdigit() else args.source
+    acquire_series(source, args.out_dir, depth_dir=args.depth_dir,
+                   fx=args.fx, fy=args.fy,
+                   cx=args.cx if args.cx >= 0 else 320.0,
+                   cy=args.cy if args.cy >= 0 else 240.0,
+                   max_frames=args.max_frames, save_clouds=args.clouds)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="fealess",
@@ -298,6 +309,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    a = sub.add_parser("acq", help="capture frames into scan-package layout")
+    a.add_argument("source", help="camera index, video file, or image dir")
+    a.add_argument("out_dir")
+    a.add_argument("--depth-dir", default=None,
+                   help="paired u16 depth png series (mm)")
+    a.add_argument("--max-frames", type=int, default=None)
+    a.add_argument("--clouds", action="store_true",
+                   help="also dump cloud/<i>.txt point lists (mm)")
+    _add_camera_args(a)
+    a.set_defaults(fn=cmd_acq)
     return p
 
 

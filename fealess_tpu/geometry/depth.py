@@ -47,6 +47,30 @@ def depth_to_3d_mm(depth_u16: jax.Array, k: jax.Array) -> jax.Array:
     return depth_to_3d(depth_u16, k) * 1000.0
 
 
+def depth_to_3d_sparse(depth_u16: jax.Array, k: jax.Array,
+                       mask: jax.Array, capacity: int):
+    """Masked back-projection to a fixed-capacity point LIST.
+
+    TPU-native equivalent of ``depthTo3dSparse``/``depthTo3dMask``
+    (ICP/depth_to_3d.cpp:148-180, 59-92): the reference emits a ragged
+    ``1 x N`` point list for the mask-nonzero pixels; here the selected
+    points are compacted (stable, row-major pixel order — the reference's
+    iteration order) into a static ``(capacity, 3)`` array in metres plus a
+    validity mask, so the result is jit-safe.  Pixels with zero depth are
+    dropped even when masked in, matching the NaN propagation of
+    rescaleDepth (depth_to_3d.cpp:255-260).
+
+    Returns ``(points_m, valid)`` with shapes ``(capacity, 3)`` and
+    ``(capacity,)``; rows beyond the selected count hold NaN.
+    """
+    pts = depth_to_3d(depth_u16, k).reshape(-1, 3)
+    sel = (mask.reshape(-1) != 0) & (depth_u16.reshape(-1) != 0)
+    order = jnp.argsort(jnp.logical_not(sel), stable=True)[:capacity]
+    valid = sel[order]
+    out = jnp.where(valid[:, None], pts[order], jnp.nan)
+    return out, valid
+
+
 def intrinsics_matrix(fx: float, fy: float, cx: float, cy: float) -> jax.Array:
     """Build a 3x3 K (setCamIntrinsic, ICP/common.cpp:374-379)."""
     return jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],

@@ -20,7 +20,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fealess_tpu import config as cfg
 from fealess_tpu import icp as icp_mod
@@ -138,7 +138,7 @@ def icp_sharded(ref: jax.Array, model: jax.Array, pair_mask: jax.Array,
                           iterations=P(), ok=P())
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis), P()),
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return fn(ref, model, pair_mask, ref)
 
 
@@ -260,5 +260,5 @@ def icp_plane_sharded(ref: jax.Array, ref_normals: jax.Array,
                           iterations=P(), ok=P())
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return fn(ref, ref_normals, model, pair_mask, ref, ref_normals)

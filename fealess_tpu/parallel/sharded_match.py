@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fealess_tpu import config as cfg
 from fealess_tpu import detector as det_mod
@@ -88,7 +88,7 @@ def match_bank_sharded(bank: TemplateBank, bgr: jax.Array,
                                      template_slot=P(axis),
                                      class_idx=P(axis),
                                      template_idx=P(axis), valid=P(axis)),
-                   check_rep=False)
+                   check_vma=False)
     merged = fn(bank, bgr, depth_mm)       # leading axis = nshards * K
     return _merge_matches(merged, det.max_candidates)
 

@@ -202,3 +202,55 @@ def test_tracked_recognizer_lost_then_redetect(package_dir):
     assert not s1.tracking                            # lost -> reset
     s2 = tracker.step(bgr, depth, cam)                # full re-detect
     assert s2.redetected and s2.results
+
+
+def test_roi_from_mask_and_depth():
+    from fealess_tpu.apps import acquire
+    m = np.zeros((40, 60), np.uint8)
+    m[10:20, 15:30] = 1
+    assert acquire.roi_from_mask(m) == (15.0, 10.0, 15.0, 10.0)
+    assert acquire.roi_from_mask(m, pad=5) == (10.0, 5.0, 25.0, 20.0)
+    assert acquire.roi_from_mask(np.zeros((4, 4))) is None
+    d = np.full((40, 60), 2000, np.uint16)   # all beyond the 900mm cap
+    d[10:20, 15:30] = 500
+    assert acquire.roi_from_depth(d, pad=0) == (15.0, 10.0, 15.0, 10.0)
+
+
+def test_box_extractor_headless_raises(monkeypatch):
+    from fealess_tpu.apps import acquire
+    monkeypatch.delenv("DISPLAY", raising=False)
+    with pytest.raises(RuntimeError):
+        acquire.BoxExtractor().extract("w", np.zeros((8, 8, 3), np.uint8))
+
+
+def test_acquire_series_layout(tmp_path):
+    from fealess_tpu.apps import acquire
+    src = tmp_path / "src"
+    dsrc = tmp_path / "dsrc"
+    src.mkdir(); dsrc.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    np.full((480, 640, 3), 10 * i, np.uint8))
+        cv2.imwrite(str(dsrc / f"{i}.png"),
+                    np.full((480, 640), 500 + i, np.uint16))
+    out = tmp_path / "pkg"
+    n = acquire.acquire_series(str(src), str(out), depth_dir=str(dsrc),
+                               max_frames=2, save_clouds=True)
+    assert n == 2
+    assert sorted(os.listdir(out / "gray")) == ["0.png", "1.png"]
+    assert sorted(os.listdir(out / "depth")) == ["0.png", "1.png"]
+    d0 = cv2.imread(str(out / "depth" / "0.png"), cv2.IMREAD_UNCHANGED)
+    assert d0.dtype == np.uint16 and d0[0, 0] == 500
+    cloud = np.loadtxt(out / "cloud" / "0.txt")
+    assert cloud.shape == (480 * 640, 3)
+    np.testing.assert_allclose(cloud[:, 2], 500.0, atol=1e-3)   # mm
+
+
+def test_cli_acq_command(tmp_path, capsys):
+    src = tmp_path / "src"
+    src.mkdir()
+    cv2.imwrite(str(src / "0.png"), np.zeros((480, 640, 3), np.uint8))
+    rc = cli.main(["acq", str(src), str(tmp_path / "out")])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "out" / "gray" / "0.png")
+    assert "intrinsics" in capsys.readouterr().out

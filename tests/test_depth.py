@@ -46,3 +46,34 @@ def test_valid_mm_cap():
 def test_scale_intrinsics():
     fx, fy, cx, cy = gd.scale_intrinsics(1280.0, 1280.0, 640.0, 360.0, 0.5)
     assert (fx, fy, cx, cy) == (640.0, 640.0, 320.0, 180.0)
+
+
+def test_depth_to_3d_sparse_compaction():
+    # masked sparse back-projection: stable row-major order, zero-depth
+    # dropped, padded rows NaN (depthTo3dSparse, ICP/depth_to_3d.cpp:148-180)
+    d = np.zeros((4, 4), np.uint16)
+    d[1, 2] = 500
+    d[2, 1] = 1000
+    d[3, 3] = 0          # masked in but invalid depth
+    mask = np.zeros((4, 4), np.uint8)
+    mask[1, 2] = mask[2, 1] = mask[3, 3] = 1
+    mask[0, 0] = 0       # valid-depth pixel outside mask must not appear
+    k = gd.intrinsics_matrix(100.0, 100.0, 2.0, 2.0)
+    pts, valid = gd.depth_to_3d_sparse(jnp.asarray(d), k,
+                                       jnp.asarray(mask), capacity=4)
+    assert valid.tolist() == [True, True, False, False]
+    dense = np.asarray(gd.depth_to_3d(jnp.asarray(d), k))
+    np.testing.assert_allclose(np.asarray(pts[0]), dense[1, 2], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pts[1]), dense[2, 1], rtol=1e-6)
+    assert np.isnan(np.asarray(pts[2:])).all()
+
+
+def test_depth_to_3d_sparse_truncates_to_capacity():
+    d = np.full((4, 4), 700, np.uint16)
+    mask = np.ones((4, 4), np.uint8)
+    k = gd.intrinsics_matrix(100.0, 100.0, 2.0, 2.0)
+    pts, valid = gd.depth_to_3d_sparse(jnp.asarray(d), k,
+                                       jnp.asarray(mask), capacity=5)
+    assert valid.all() and pts.shape == (5, 3)
+    dense = np.asarray(gd.depth_to_3d(jnp.asarray(d), k)).reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(pts), dense[:5], rtol=1e-6)
