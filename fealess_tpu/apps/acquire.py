@@ -27,7 +27,7 @@ layer for a headless/TPU workflow:
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -73,12 +73,23 @@ class BoxExtractor:
     """
 
     def extract(self, window_name: str, image: np.ndarray) -> Roi:
-        if not (os.environ.get("DISPLAY") or os.name == "nt"):
+        import sys
+        has_display = (os.environ.get("DISPLAY")
+                       or os.environ.get("WAYLAND_DISPLAY")
+                       or os.name == "nt" or sys.platform == "darwin")
+        if not has_display:
             raise RuntimeError(
                 "BoxExtractor.extract needs a display; use roi_from_mask / "
                 "roi_from_depth for headless ROI selection")
         import cv2
-        x, y, w, h = cv2.selectROI(window_name, image, showCrosshair=True)
+        try:
+            x, y, w, h = cv2.selectROI(window_name, image,
+                                       showCrosshair=True)
+        except cv2.error as e:
+            raise RuntimeError(
+                "BoxExtractor.extract could not open a window "
+                f"({e}); use roi_from_mask / roi_from_depth for headless "
+                "ROI selection") from e
         cv2.destroyWindow(window_name)
         return (float(x), float(y), float(w), float(h))
 
@@ -115,15 +126,25 @@ def acquire_series(color_source, out_dir: str,
     from fealess_tpu.io.series import ImageSeriesReader
 
     os.makedirs(os.path.join(out_dir, "gray"), exist_ok=True)
-    depth_paths: Iterable[Optional[str]]
+    # Depth frames pair with color frames by basename STEM (gray/7.png <->
+    # depth/7.png), with numeric-stem ordering as the fallback for nameless
+    # (video/camera) sources — matching ImageSeriesReader's own sort.
+    # Lexicographic sorting or positional pairing both corrupt packages:
+    # ">= 10 unpadded numeric names" reorders (1, 10, 2, ...) and a single
+    # unreadable color png shifts every later pair.
+    depth_by_stem: dict = {}
+    depth_list: list = []
     if depth_dir:
         import glob
         os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
-        depth_paths = sorted(
-            glob.glob(os.path.join(depth_dir, "*.png")),
-            key=lambda p: (os.path.basename(p)))
-    else:
-        depth_paths = []
+
+        def _key(p):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            return (0, int(stem)) if stem.isdigit() else (1, stem)
+        depth_list = sorted(glob.glob(os.path.join(depth_dir, "*.png")),
+                            key=_key)
+        depth_by_stem = {
+            os.path.splitext(os.path.basename(p))[0]: p for p in depth_list}
     if save_clouds:
         os.makedirs(os.path.join(out_dir, "cloud"), exist_ok=True)
 
@@ -133,13 +154,18 @@ def acquire_series(color_source, out_dir: str,
     import cv2
     reader = ImageSeriesReader(color_source, target_wh=target_wh)
     n = 0
-    depth_list = list(depth_paths)
-    for i, frame in enumerate(reader):
+    for i, (stem, frame) in enumerate(reader.iter_named()):
         if max_frames is not None and n >= max_frames:
             break
         cv2.imwrite(os.path.join(out_dir, "gray", f"{i}.png"), frame)
-        if i < len(depth_list):
-            d = cv2.imread(depth_list[i], cv2.IMREAD_UNCHANGED)
+        if stem is not None and stem in depth_by_stem:
+            depth_path = depth_by_stem[stem]
+        elif stem is None and i < len(depth_list):
+            depth_path = depth_list[i]
+        else:
+            depth_path = None
+        if depth_path is not None:
+            d = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
             if d is not None:
                 d = d.astype(np.uint16)
                 cv2.imwrite(os.path.join(out_dir, "depth", f"{i}.png"), d)

@@ -65,9 +65,15 @@ def depth_to_3d_sparse(depth_u16: jax.Array, k: jax.Array,
     """
     pts = depth_to_3d(depth_u16, k).reshape(-1, 3)
     sel = (mask.reshape(-1) != 0) & (depth_u16.reshape(-1) != 0)
-    order = jnp.argsort(jnp.logical_not(sel), stable=True)[:capacity]
+    take = min(capacity, sel.shape[0])
+    order = jnp.argsort(jnp.logical_not(sel), stable=True)[:take]
     valid = sel[order]
     out = jnp.where(valid[:, None], pts[order], jnp.nan)
+    if take < capacity:
+        # Fewer pixels than capacity: pad to the promised static shapes.
+        out = jnp.pad(out, ((0, capacity - take), (0, 0)),
+                      constant_values=jnp.nan)
+        valid = jnp.pad(valid, (0, capacity - take))
     return out, valid
 
 

@@ -51,19 +51,29 @@ class ImageSeriesReader:
         return cap
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        for _, frame in self.iter_named():
+            yield frame
+
+    def iter_named(self) -> Iterator[Tuple[Optional[str], np.ndarray]]:
+        """Yield ``(stem, frame)`` pairs; ``stem`` is the source file's
+        basename without extension (None for video/camera sources).  The
+        stem lets consumers pair auxiliary per-frame files (depth, pose) by
+        NAME rather than by yield position — unreadable files are skipped
+        (``continue``), so positional pairing would silently shift."""
         import cv2
         if self._cap is not None:
             while True:
                 ok, frame = self._cap.read()
                 if not ok:
                     return
-                yield self._resize(frame)
+                yield None, self._resize(frame)
         else:
             for p in self._paths:
                 frame = cv2.imread(p, cv2.IMREAD_COLOR)
                 if frame is None:
                     continue
-                yield self._resize(frame)
+                stem = os.path.splitext(os.path.basename(p))[0]
+                yield stem, self._resize(frame)
 
     def _resize(self, frame: np.ndarray) -> np.ndarray:
         if self._target is None:

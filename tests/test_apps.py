@@ -219,8 +219,39 @@ def test_roi_from_mask_and_depth():
 def test_box_extractor_headless_raises(monkeypatch):
     from fealess_tpu.apps import acquire
     monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
     with pytest.raises(RuntimeError):
         acquire.BoxExtractor().extract("w", np.zeros((8, 8, 3), np.uint8))
+
+
+def test_acquire_series_depth_pairs_by_stem(tmp_path):
+    """Depth frames must pair with color frames by basename, not by sorted
+    position: >=10 unpadded numeric names break lexicographic order, and a
+    corrupt color png must not shift later pairs (ADVICE r1)."""
+    from fealess_tpu.apps import acquire
+    src = tmp_path / "src"
+    dsrc = tmp_path / "dsrc"
+    src.mkdir(); dsrc.mkdir()
+    n_frames = 12
+    for i in range(n_frames):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    np.full((480, 640, 3), i, np.uint8))
+        cv2.imwrite(str(dsrc / f"{i}.png"),
+                    np.full((480, 640), 1000 + i, np.uint16))
+    # corrupt one color frame: the reader skips it; depth for later frames
+    # must still pair with the right color frame
+    (src / "3.png").write_bytes(b"not a png")
+    out = tmp_path / "pkg"
+    n = acquire.acquire_series(str(src), str(out), depth_dir=str(dsrc))
+    assert n == n_frames - 1
+    # output index i corresponds to source stems [0,1,2,4,5,...,11]
+    kept = [s for s in range(n_frames) if s != 3]
+    for i, s in enumerate(kept):
+        c = cv2.imread(str(out / "gray" / f"{i}.png"))
+        d = cv2.imread(str(out / "depth" / f"{i}.png"),
+                       cv2.IMREAD_UNCHANGED)
+        assert int(c[0, 0, 0]) == s, (i, s)
+        assert int(d[0, 0]) == 1000 + s, (i, s)
 
 
 def test_acquire_series_layout(tmp_path):

@@ -68,6 +68,19 @@ def test_depth_to_3d_sparse_compaction():
     assert np.isnan(np.asarray(pts[2:])).all()
 
 
+def test_depth_to_3d_sparse_pads_to_capacity():
+    # capacity > H*W must still return the promised static shapes
+    # (padded with NaN/False) so jit callers see a fixed shape (ADVICE r1)
+    d = np.full((2, 2), 700, np.uint16)
+    mask = np.ones((2, 2), np.uint8)
+    k = gd.intrinsics_matrix(100.0, 100.0, 1.0, 1.0)
+    pts, valid = gd.depth_to_3d_sparse(jnp.asarray(d), k,
+                                       jnp.asarray(mask), capacity=9)
+    assert pts.shape == (9, 3) and valid.shape == (9,)
+    assert valid.tolist() == [True] * 4 + [False] * 5
+    assert np.isnan(np.asarray(pts[4:])).all()
+
+
 def test_depth_to_3d_sparse_truncates_to_capacity():
     d = np.full((4, 4), 700, np.uint16)
     mask = np.ones((4, 4), np.uint8)
