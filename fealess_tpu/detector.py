@@ -122,7 +122,7 @@ def _kernel_hw(bank: TemplateBank, det: cfg.DetectorConfig, l: int,
 
 
 def build_match_kernels(bank: TemplateBank, det: cfg.DetectorConfig,
-                        grid_hw=None):
+                        grid_hw=None, levels=None):
     """Per-level one-hot conv kernels (N, C_all, kh, kh) bf16.
 
     Kernel ``w[n, c, dy, dx] = 1`` iff template ``n`` has a valid feature
@@ -132,10 +132,21 @@ def build_match_kernels(bank: TemplateBank, det: cfg.DetectorConfig,
     reference's linear-memory SSE adds (linemod.cpp:1130-1214).  Frame
     independent: precompute per bank (engine caches them); also traceable
     under jit (scatter-add) for ad-hoc paths.
+
+    ``levels`` selects which pyramid levels get a kernel (None = only the
+    coarsest): since refinement levels score candidate 16x16 windows by
+    feature gather (matchClass semantics, linemod.cpp:1509-1573), only the
+    coarse whole-image pass needs the dense conv.  Unbuilt levels hold
+    ``None``.
     """
     n = bank.capacity
+    if levels is None:
+        levels = (bank.levels - 1,)
     kernels = []
     for l in range(bank.levels):
+        if l not in levels:
+            kernels.append(None)
+            continue
         t = det.t_at_level[l]
         if grid_hw is None:
             hd = det.image_height >> l
@@ -193,15 +204,20 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
                       det: cfg.DetectorConfig, kernels=None) -> Matches:
     """Score the bank against decimated response planes.
 
-    Every level computes DENSE all-template, all-position scores with one
-    one-hot conv on the MXU (:func:`_conv_scores`); the coarse level feeds
-    static top-K selection, finer levels are read through 16x16 windows
-    around each surviving candidate — semantics of matchClass
+    The coarse level computes DENSE all-template, all-position scores with
+    one one-hot conv on the MXU (:func:`_conv_scores`) and feeds static
+    top-K selection; finer levels score ONLY each surviving candidate's
+    16x16 window by gathering that template's features from the decimated
+    planes (O(K·F·256) — the cost shape of the reference's coarse-to-fine,
+    linemod.cpp:1509-1573, instead of O(N·H·W·C·k²) dense convs that
+    made 1k-template banks 2.4x slower).  Semantics of matchClass
     (linemod.cpp:1451-1577) except that candidates whose template would
     wrap across the row end score their true (zero-padded) value instead
     of the reference's flat-buffer wraparound mixture, and candidate
     positions are restricted to non-wrapping ones (a strict improvement:
-    wrapped scores are noise the reference filters only implicitly)."""
+    wrapped scores are noise the reference filters only implicitly);
+    clamped refinement windows never wrap, so the gather and dense-conv
+    formulations agree exactly there (tested)."""
     l_coarse = det.pyramid_levels - 1
     t_c = det.t_at_level[l_coarse]
     d_c, (h_c, w_c) = planes[l_coarse]
@@ -209,7 +225,7 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     p = hd * wd
     n = bank.capacity
     k = det.max_candidates
-    if kernels is None:
+    if kernels is None or kernels[l_coarse] is None:
         kernels = build_match_kernels(
             bank, det, grid_hw=[(pl_[0].shape[1], pl_[0].shape[2])
                                 for pl_ in planes])
@@ -244,10 +260,12 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     valid = jnp.isfinite(top_scores)
 
     # --- Local refinement up the pyramid (linemod.cpp:1509-1573):
-    # dense conv scores again, then 16x16 windows around each candidate.
+    # candidate-windowed feature gather — only the K survivors' templates
+    # are scored, over their 16x16 windows (similarityLocal semantics).
     for l in range(det.pyramid_levels - 2, -1, -1):
         t = det.t_at_level[l]
         d_l, (h, w) = planes[l]
+        hd_l, wd_l = h // t, w // t
         border = 8 * t
         offs = _offset(t)
         width_l = bank.width[tslot, l]
@@ -257,16 +275,24 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
         x = jnp.minimum(jnp.maximum(x * 2 + 1, border), w - width_l - border)
         y = jnp.minimum(jnp.maximum(y * 2 + 1, border), h - height_l - border)
 
-        scores_l = _conv_scores(d_l, kernels[l])        # (N, Hd, Wd)
         win = similarity.LOCAL_WINDOW
-        scores_pad = jnp.pad(scores_l, ((0, 0), (0, win), (0, win)))
         px0 = x // t - 8
         py0 = y // t - 8
-        window = jax.vmap(
-            lambda s, r0, c0: jax.lax.dynamic_slice(
-                scores_pad[s], (r0, c0), (win, win))
-        )(tslot, py0, px0)                              # (K, 16, 16)
-        total = window.reshape(k, win * win)
+        fx = bank.feat_x[tslot, l]                      # (K, M, F)
+        fy = bank.feat_y[tslot, l]
+        fl = bank.feat_label[tslot, l]
+        fv = bank.feat_valid[tslot, l]
+        m_idx = jnp.arange(bank.modalities, dtype=jnp.int32)[None, :, None]
+        feat_c = (m_idx * 8 + fl) * (t * t) + (fy % t) * t + (fx % t)
+        feat_base = ((py0[:, None, None] + fy // t) * wd_l
+                     + (px0[:, None, None] + fx // t))
+        p_l = hd_l * wd_l
+        stride = p_l + (win - 1) * wd_l + win
+        d_flat = jnp.pad(d_l.reshape(d_l.shape[0], p_l),
+                         ((0, 0), (0, stride - p_l))).reshape(-1)
+        total = similarity.local_similarity(
+            d_flat, feat_c.reshape(k, -1), feat_base.reshape(k, -1),
+            fv.reshape(k, -1), stride, wd_l).astype(jnp.float32)
 
         best = jnp.max(total, axis=1)
         best_idx = jnp.argmax(total, axis=1)       # first max, row-major
