@@ -88,6 +88,13 @@ def main():
     full_model_depth = jnp.asarray(eng._model_depth)
     full_origins = jnp.asarray(eng._origins_array())
 
+    # The 128t line reuses the first-n slot prefix of the 1024-slot
+    # fixture bank; that is only the same workload the C++ baseline ran
+    # iff the fixture's views are identical — assert it (ADVICE r2).
+    fx = np.asarray(eng.bank.feat_x)
+    assert np.array_equal(fx[0], fx[500]) and np.array_equal(fx[0], fx[1023]), \
+        "fixture bank slots differ; 128t prefix slice is not the baseline workload"
+
     lines = []
     for n in (128, 1024):
         bank, model_depth, origins = _slice_bank(
@@ -104,8 +111,11 @@ def main():
                 step = pipeline.recognize_top1(
                     bank, model_depth, origins, bb, d, k,
                     engine_cfg, kernels=kernels)
-                # data dependency on the result; never actually fires
-                return bb + (step.similarity < -1e30).astype(jnp.uint8)
+                # data dependency on the FULL result including the refined
+                # pose; depending on similarity alone lets XLA dead-code
+                # the ICP refine stage out of the chain.  Never fires.
+                return bb + ((step.pose.sum() + step.similarity)
+                             < -1e30).astype(jnp.uint8)
             return jax.lax.fori_loop(0, steps, body, b)
 
         fps = _chain_fps(

@@ -35,7 +35,7 @@ from fealess_tpu import config as cfg
 from fealess_tpu.bank import TemplateBank
 from fealess_tpu.ops import image as fi
 from fealess_tpu.ops import quantize as q
-from fealess_tpu.ops import response, similarity
+from fealess_tpu.ops import response, score_pallas, similarity
 
 
 @struct.dataclass
@@ -114,76 +114,89 @@ def response_planes(levels, det: cfg.DetectorConfig):
 
 def _kernel_hw(bank: TemplateBank, det: cfg.DetectorConfig, l: int,
                hd: int, wd: int) -> int:
-    """One-hot conv kernel side at level ``l``: the template span in
-    decimated cells (bank.max_span is the level-0 bbox side in px)."""
+    """Template span at level ``l`` in decimated cells (bank.max_span is
+    the level-0 bbox side in px); bounds candidate filtering and the
+    coarse-scorer channel stride."""
     if bank.max_span <= 0:
         return max(hd, wd)
     return min((bank.max_span >> l) // det.t_at_level[l] + 1, max(hd, wd))
 
 
-def build_match_kernels(bank: TemplateBank, det: cfg.DetectorConfig,
-                        grid_hw=None, levels=None):
-    """Per-level one-hot conv kernels (N, C_all, kh, kh) bf16.
+def _level_table(bank: TemplateBank, det: cfg.DetectorConfig, l: int,
+                 nb: int):
+    """Bucket-sorted feature table for level ``l`` (consumed by
+    fealess_tpu.ops.score_pallas):
 
-    Kernel ``w[n, c, dy, dx] = 1`` iff template ``n`` has a valid feature
-    with channel ``c = m*8*T^2 + label*T^2 + (y%T)*T + (x%T)`` at
-    decimated offset ``(y//T, x//T)``.  Template scoring is then one
-    2D correlation per level on the MXU — the TPU reformulation of the
-    reference's linear-memory SSE adds (linemod.cpp:1130-1214).  Frame
-    independent: precompute per bank (engine caches them); also traceable
-    under jit (scatter-add) for ad-hoc paths.
+    - ``c``/``ry``/``rx``: (N, M*F) i32 feature channel (modality folded
+      in) and decimated offsets, sorted so valid features come first,
+      grouped by ``rx`` bucket,
+    - ``bstart``: (N, NB+1) i32 cumulative bucket boundaries; features at
+      index >= bstart[-1] are padding and are never iterated.
 
-    ``levels`` selects which pyramid levels get a kernel (None = only the
-    coarsest): since refinement levels score candidate 16x16 windows by
-    feature gather (matchClass semantics, linemod.cpp:1509-1573), only the
-    coarse whole-image pass needs the dense conv.  Unbuilt levels hold
-    ``None``.
+    Pure elementwise/sort arithmetic over the bank's feature arrays —
+    cheap to (re)build under jit, so sharded callers can pass
+    ``kernels=None``.
     """
+    t = det.t_at_level[l]
+    m_idx = jnp.arange(bank.modalities, dtype=jnp.int32)[None, :, None]
+    fx = bank.feat_x[:, l]
+    fy = bank.feat_y[:, l]
+    fl = bank.feat_label[:, l]
+    fv = bank.feat_valid[:, l]
     n = bank.capacity
+    c = ((m_idx * 8 + fl) * (t * t) + (fy % t) * t + (fx % t)).reshape(n, -1)
+    ry = (fy // t).reshape(n, -1)
+    rx = (fx // t).reshape(n, -1)
+    fv = fv.reshape(n, -1)
+    fv = fv & (rx < nb) & (ry < nb)       # out-of-span features discarded
+    key = jnp.where(fv, rx, nb)           # invalid last, bucketed by rx
+    order = jnp.argsort(key, axis=1, stable=True)
+    c = jnp.take_along_axis(c, order, axis=1)
+    ry = jnp.take_along_axis(ry, order, axis=1)
+    rx = jnp.take_along_axis(rx, order, axis=1)
+    fv_s = jnp.take_along_axis(fv, order, axis=1)
+    # zero out padding entries so kernel-layout derivation stays in-range
+    c = jnp.where(fv_s, c, 0).astype(jnp.int32)
+    ry = jnp.where(fv_s, ry, 0).astype(jnp.int32)
+    rx = jnp.where(fv_s, rx, 0).astype(jnp.int32)
+    counts = jnp.sum(key[:, None, :] == jnp.arange(nb)[None, :, None],
+                     axis=2)
+    bstart = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
+    return {"c": c, "ry": ry, "rx": rx, "bstart": bstart}
+
+
+def build_match_tables(bank: TemplateBank, det: cfg.DetectorConfig,
+                       grid_hw=None, levels=None):
+    """Per-level bucket-sorted score tables for the Pallas sparse scorer
+    (the TPU reformulation of the reference's linear-memory SSE adds,
+    linemod.cpp:1130-1300; see fealess_tpu.ops.score_pallas).
+
+    Bank-dependent only: precompute per bank (the engine caches them),
+    or pass ``kernels=None`` to build under jit (elementwise, cheap).
+    """
     if levels is None:
-        levels = (bank.levels - 1,)
-    kernels = []
+        levels = tuple(range(bank.levels))
+    tables = []
     for l in range(bank.levels):
         if l not in levels:
-            kernels.append(None)
+            tables.append(None)
             continue
         t = det.t_at_level[l]
         if grid_hw is None:
-            hd = det.image_height >> l
-            wd = det.image_width >> l
-            hd, wd = hd // t, wd // t
+            hd = (det.image_height >> l) // t
+            wd = (det.image_width >> l) // t
         else:
             hd, wd = grid_hw[l]
-        k = _kernel_hw(bank, det, l, hd, wd)
-        c_all = bank.modalities * 8 * t * t
-        w = jnp.zeros((n, c_all, k, k), jnp.float32)
-        nidx = jnp.broadcast_to(jnp.arange(n)[:, None],
-                                bank.feat_x.shape[0:1]
-                                + bank.feat_x.shape[3:4])
-        for m in range(bank.modalities):
-            fx = bank.feat_x[:, l, m]
-            fy = bank.feat_y[:, l, m]
-            fl = bank.feat_label[:, l, m]
-            fv = bank.feat_valid[:, l, m]
-            c = m * 8 * t * t + fl * (t * t) + (fy % t) * t + (fx % t)
-            w = w.at[nidx, c, fy // t, fx // t].add(
-                fv.astype(jnp.float32), mode="drop")
-        kernels.append(w.astype(jnp.bfloat16))
-    return tuple(kernels)
+        tables.append(_level_table(bank, det, l,
+                                   _kernel_hw(bank, det, l, hd, wd)))
+    return tuple(tables)
 
 
-def _conv_scores(planes: jax.Array, w: jax.Array) -> jax.Array:
-    """(C, Hd, Wd) u8 responses x (N, C, kh, kw) one-hot kernels ->
-    (N, Hd, Wd) f32 raw scores (exact: responses 0..4 and 0/1 weights are
-    exact in bf16; the MXU accumulates in f32)."""
-    kh, kw = w.shape[2], w.shape[3]
-    out = jax.lax.conv_general_dilated(
-        planes[None].astype(jnp.bfloat16), w,
-        window_strides=(1, 1),
-        padding=((0, kh - 1), (0, kw - 1)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
-    return out[0]
+# Backwards-compatible name (the tables replaced the r1/r2 one-hot conv
+# kernels; callers thread them through the same ``kernels=`` kwarg).
+build_match_kernels = build_match_tables
 
 
 def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
@@ -204,20 +217,23 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
                       det: cfg.DetectorConfig, kernels=None) -> Matches:
     """Score the bank against decimated response planes.
 
-    The coarse level computes DENSE all-template, all-position scores with
-    one one-hot conv on the MXU (:func:`_conv_scores`) and feeds static
-    top-K selection; finer levels score ONLY each surviving candidate's
-    16x16 window by gathering that template's features from the decimated
-    planes (O(K·F·256) — the cost shape of the reference's coarse-to-fine,
-    linemod.cpp:1509-1573, instead of O(N·H·W·C·k²) dense convs that
-    made 1k-template banks 2.4x slower).  Semantics of matchClass
+    The coarse level computes all-template, all-position scores with the
+    sparse Pallas accumulator (fealess_tpu.ops.score_pallas.coarse_scores
+    — O(N·F·P) adds, the true work of the reference's linear-memory SSE
+    loop, instead of the O(N·C·k²·P) dense one-hot conv whose kernel is
+    >99.9% zeros at 1k templates) and feeds static top-K selection; finer
+    levels score ONLY each surviving candidate's 16x16 window with the
+    Pallas local scorer (O(K·F·256) — the cost shape of the reference's
+    coarse-to-fine, linemod.cpp:1509-1573).  Semantics of matchClass
     (linemod.cpp:1451-1577) except that candidates whose template would
     wrap across the row end score their true (zero-padded) value instead
     of the reference's flat-buffer wraparound mixture, and candidate
     positions are restricted to non-wrapping ones (a strict improvement:
     wrapped scores are noise the reference filters only implicitly);
-    clamped refinement windows never wrap, so the gather and dense-conv
-    formulations agree exactly there (tested)."""
+    clamped refinement windows never wrap, so zero-padded windows equal
+    the reference's flat-buffer reads there (tested), and out-of-bounds
+    features at degenerate clamps are discarded like similarityLocal's
+    per-feature bounds checks (linemod.cpp:1257-1258)."""
     l_coarse = det.pyramid_levels - 1
     t_c = det.t_at_level[l_coarse]
     d_c, (h_c, w_c) = planes[l_coarse]
@@ -225,13 +241,14 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     p = hd * wd
     n = bank.capacity
     k = det.max_candidates
-    if kernels is None or kernels[l_coarse] is None:
-        kernels = build_match_kernels(
+    if kernels is None or any(kernels[lv] is None
+                              for lv in range(det.pyramid_levels)):
+        kernels = build_match_tables(
             bank, det, grid_hw=[(pl_[0].shape[1], pl_[0].shape[2])
                                 for pl_ in planes])
 
-    # --- Coarse dense scores at the lowest level (linemod.cpp:1462-1506)
-    raw = _conv_scores(d_c, kernels[l_coarse])          # (N, Hd, Wd) f32
+    # --- Coarse sparse scores at the lowest level (linemod.cpp:1462-1506)
+    raw_i = score_pallas.coarse_scores(d_c, kernels[l_coarse])  # (N,Hd,Wd)
 
     nf = bank.num_features()                  # (N, L)
     nf_c = nf[:, l_coarse]
@@ -242,11 +259,11 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     hf = (bank.height[:, l_coarse] - 1) // t_c + 1
     px_idx = jnp.arange(wd)[None, None, :]
     py_idx = jnp.arange(hd)[None, :, None]
-    cand_ok = ((raw.astype(jnp.int32) > raw_thr[:, None, None])
+    cand_ok = ((raw_i > raw_thr[:, None, None])
                & (px_idx <= (wd - wf)[:, None, None])
                & (py_idx <= (hd - hf)[:, None, None])
                & bank.valid[:, None, None])
-    score = (raw * 100.0
+    score = (raw_i.astype(jnp.float32) * 100.0
              / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5
     flat = jnp.where(cand_ok, score, -jnp.inf).reshape(-1)
@@ -272,27 +289,20 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
         height_l = bank.height[tslot, l]
         nf_l = jnp.maximum(nf[tslot, l], 1)
 
-        x = jnp.minimum(jnp.maximum(x * 2 + 1, border), w - width_l - border)
-        y = jnp.minimum(jnp.maximum(y * 2 + 1, border), h - height_l - border)
+        # Clamp with the lower bound winning (degenerate template-bigger-
+        # than-search-area case): the window then anchors at the border
+        # and features hanging off the image are discarded per-feature
+        # (similarityLocal's bounds checks, linemod.cpp:1257-1258).
+        x = jnp.maximum(jnp.minimum(x * 2 + 1, w - width_l - border), border)
+        y = jnp.maximum(jnp.minimum(y * 2 + 1, h - height_l - border), border)
 
         win = similarity.LOCAL_WINDOW
         px0 = x // t - 8
         py0 = y // t - 8
-        fx = bank.feat_x[tslot, l]                      # (K, M, F)
-        fy = bank.feat_y[tslot, l]
-        fl = bank.feat_label[tslot, l]
-        fv = bank.feat_valid[tslot, l]
-        m_idx = jnp.arange(bank.modalities, dtype=jnp.int32)[None, :, None]
-        feat_c = (m_idx * 8 + fl) * (t * t) + (fy % t) * t + (fx % t)
-        feat_base = ((py0[:, None, None] + fy // t) * wd_l
-                     + (px0[:, None, None] + fx // t))
-        p_l = hd_l * wd_l
-        stride = p_l + (win - 1) * wd_l + win
-        d_flat = jnp.pad(d_l.reshape(d_l.shape[0], p_l),
-                         ((0, 0), (0, stride - p_l))).reshape(-1)
-        total = similarity.local_similarity(
-            d_flat, feat_c.reshape(k, -1), feat_base.reshape(k, -1),
-            fv.reshape(k, -1), stride, wd_l).astype(jnp.float32)
+        table_l = kernels[l]
+        table_k = {key: table_l[key][tslot] for key in table_l}
+        total_i = score_pallas.local_scores(d_l, table_k, px0, py0)
+        total = total_i.reshape(k, win * win).astype(jnp.float32)
 
         best = jnp.max(total, axis=1)
         best_idx = jnp.argmax(total, axis=1)       # first max, row-major

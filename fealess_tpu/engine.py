@@ -108,27 +108,65 @@ class ObjReco:
                               modalities=len(det_cfg.modalities),
                               capacity=self.cfg.detector.max_templates,
                               max_features=det_cfg.max_features)
-        # one-hot conv kernels for the dense scorer: bank-dependent only,
+        # score tables for the sparse Pallas scorer: bank-dependent only,
         # build once here instead of per frame
-        self._kernels = det_mod.build_match_kernels(self.bank,
-                                                    self.cfg.detector)
+        self._kernels = det_mod.build_match_tables(self.bank,
+                                                   self.cfg.detector)
         self._load_model_depths(classes)
+
+    def _model_depth_path(self, cname: str, tid: int,
+                          multi_class: bool) -> str:
+        """Per-template model-depth png path.
+
+        Multi-class banks key depths per class (``depth/<class>/<tid>.png``
+        — the analog of the reference's one-directory-per-object contract,
+        obj_reco_lmicp.cpp:67-74, which makes the flat ``depth/<tid>.png``
+        unambiguous there); single-class banks keep the reference's flat
+        layout.  A per-class directory also wins for single-class banks
+        when present.
+        """
+        qualified = os.path.join(self._feature_path, "depth", cname,
+                                 f"{tid}.png")
+        if multi_class or os.path.exists(qualified):
+            return qualified
+        return os.path.join(self._feature_path, "depth", f"{tid}.png")
 
     def _load_model_depths(self, classes) -> None:
         """Pre-crop each template's model depth to the static refine
-        window, converted to u16 mm (x model_depth_scale)."""
+        window, converted to u16 mm (x model_depth_scale).
+
+        Missing or size-mismatched depth pngs are a hard error: an
+        all-zero depth slot silently refines against an empty cloud and
+        fails only via ``icp.ok`` downstream (the reference aborts load
+        on a bad png too, obj_reco_lmicp.cpp:156-161).
+        """
+        from fealess_tpu.utils.logging import get_logger
+
         n = self.bank.capacity
         crop = self.cfg.refine_crop
         out = np.zeros((n, crop, crop), np.uint16)
+        multi_class = len(classes) > 1
         slot = 0
+        missing: List[str] = []
         for cname in sorted(classes.keys()):
             for tid, view in enumerate(classes[cname]):
-                path = os.path.join(self._feature_path, "depth",
-                                    f"{tid}.png")
+                path = self._model_depth_path(cname, tid, multi_class)
                 img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
                 if img is None:
+                    missing.append(path)
                     slot += 1
                     continue
+                if img.ndim != 2:
+                    raise IOError(
+                        f"model depth {path} is not single-channel "
+                        f"(shape {img.shape})")  # ERROR_OPEN_FILE_FAILED
+                x0 = max(int(view.offset_x[0]), 0)
+                y0 = max(int(view.offset_y[0]), 0)
+                if (img.shape[0] <= y0 or img.shape[1] <= x0):
+                    raise IOError(
+                        f"model depth {path} ({img.shape[1]}x{img.shape[0]}"
+                        f") does not cover template rect origin "
+                        f"({x0}, {y0})")
                 mm = (img.astype(np.float32)
                       * self.cfg.model_depth_scale)
                 # convertTo(CV_16UC1, 0.1) rounds half away from zero? cv
@@ -138,13 +176,16 @@ class ObjReco:
                 # the image edge): the refine step index-pairs the model
                 # and scene rects, so the rect must start at the crop
                 # origin — clamping here would shift the pairing.
-                x0, y0 = max(int(view.offset_x[0]), 0), \
-                    max(int(view.offset_y[0]), 0)
                 win = mm16[y0:y0 + crop, x0:x0 + crop]
                 out[slot, :win.shape[0], :win.shape[1]] = win
                 # remember the crop origin actually used
                 self._depth_origin[slot] = (x0, y0)
                 slot += 1
+        if missing:
+            raise IOError(
+                f"{len(missing)} model depth png(s) missing, e.g. "
+                f"{missing[0]}")  # ERROR_OPEN_FILE_FAILED
+        get_logger().debug("loaded %d model depths", slot)
         self._model_depth = out
 
     def set_roi(self, roi_mask: np.ndarray) -> None:

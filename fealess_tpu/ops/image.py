@@ -106,19 +106,35 @@ def resize_nn_half(img: jax.Array) -> jax.Array:
     return img[::2, ::2]
 
 
+def _box5_sum_i32(x: jax.Array) -> jax.Array:
+    """Separable 5x5 box sum with BORDER_REPLICATE padding."""
+    h, w = x.shape
+    xp = _pad_replicate(x, 2, axes=(0,))
+    acc = sum(jax.lax.slice_in_dim(xp, i, i + h, axis=0) for i in range(5))
+    xp = _pad_replicate(acc, 2, axes=(1,))
+    return sum(jax.lax.slice_in_dim(xp, i, i + w, axis=1) for i in range(5))
+
+
 def median_blur5_u8(img: jax.Array) -> jax.Array:
-    """5x5 median filter of a u8 image, BORDER_REPLICATE.
+    """5x5 median filter of a u8 BITMASK image, BORDER_REPLICATE.
 
     Matches ``medianBlur(dst, dst, 5)`` applied to the quantized-normal
-    bitmask image (linemod.cpp:684).  Median over byte *values* — for
-    power-of-two bitmask pixels this selects an actual label byte.
+    bitmask image (linemod.cpp:684) — median over byte *values*, exact for
+    images whose pixels lie in {0} | {1<<k}: instead of a 25-way sort
+    network it counts, per candidate value, how many window pixels are
+    <= that value (9 separable box sums) and picks the smallest value
+    whose cumulative count reaches 13 — the definition of the median of
+    25 bytes over this value set.
     """
-    xp = _pad_replicate(img, 2, axes=(0, 1))
-    h, w = img.shape
-    windows = jnp.stack(
-        [jax.lax.slice(xp, (dy, dx), (dy + h, dx + w))
-         for dy in range(5) for dx in range(5)], axis=-1)
-    return jnp.sort(windows, axis=-1)[..., 12]
+    values = [0] + [1 << k for k in range(8)]
+    x = img.astype(jnp.int32)
+    # cumulative counts: cnt_v = #window pixels <= v; select the first v
+    # (ascending) with cnt_v >= 13.
+    med = jnp.full(img.shape, values[-1], jnp.int32)
+    for v in reversed(values[:-1]):
+        cnt = _box5_sum_i32((x <= v).astype(jnp.int32))
+        med = jnp.where(cnt >= 13, v, med)
+    return med.astype(jnp.uint8)
 
 
 def erode3_bool(mask: jax.Array, iterations: int = 1) -> jax.Array:

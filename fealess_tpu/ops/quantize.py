@@ -84,16 +84,30 @@ def quantize_gradients(src_bgr: jax.Array, weak_threshold: float):
 
 
 def _azimuth_bin_from_grid(ix: jax.Array, iy: jax.Array) -> jax.Array:
-    """Sector bin of the NORMAL_LUT grid cell (ix, iy) in [0, 20)^2.
+    """Sector bitmask of the NORMAL_LUT grid cell (ix, iy) in [0, 20)^2.
 
-    Reproduces ``1 << azimuth_bin((ix-10)/10, (iy-10)/10)`` — the generating
-    formula of normal_lut.i (verified in tests/test_luts.py) — via a
-    precomputed 20x20 table so boundary quantization matches the reference
-    bit-for-bit.
+    Reproduces ``1 << azimuth_bin((ix-10)/10, (iy-10)/10)`` — the
+    generating formula of normal_lut.i, ``round(atan2(dy, dx) / 45 deg)
+    mod 8`` — with branch-free octant arithmetic instead of a per-pixel
+    table gather (XLA gathers serialize on TPU).  Exact: sector
+    boundaries have irrational slopes (tan 22.5 = sqrt(2)-1), so integer
+    grid points never fall on one and f32 comparisons cannot flip a bin
+    (element-equality vs the parsed reference table in tests/test_luts.py
+    and tests/test_quantize.py).
     """
-    from fealess_tpu.ops import luts
-    plane = jnp.asarray(luts.normal_lut(NORMAL_GRANULARITY)[0])  # (20, 20) u8
-    return plane[iy, ix]
+    dx = (ix - NORMAL_GRANULARITY // 2).astype(jnp.float32)
+    dy = (iy - NORMAL_GRANULARITY // 2).astype(jnp.float32)
+    ax, ay = jnp.abs(dx), jnp.abs(dy)
+    t = jnp.float32(0.41421356)            # tan 22.5deg
+    # q: sector within the first quadrant (0 = <22.5deg, 1 = 45, 2 = 90).
+    q = ((ay > ax * t).astype(jnp.int32)
+         + (ay * t > ax).astype(jnp.int32))
+    xn, yn = dx < 0, dy < 0
+    bin8 = jnp.where(
+        yn,
+        jnp.where(xn, 4 + q, (8 - q) & 7),   # 3rd / 4th quadrant
+        jnp.where(xn, 4 - q, q))             # 2nd / 1st quadrant
+    return (jnp.uint8(1) << bin8.astype(jnp.uint8)).astype(jnp.uint8)
 
 
 def quantize_normals(depth_u16: jax.Array, distance_threshold: int,

@@ -27,16 +27,43 @@ import jax.numpy as jnp
 from fealess_tpu.ops.luts import ORIENTATION_SCORES
 
 
+def _or_window_1d(x: jax.Array, t: int, axis: int) -> jax.Array:
+    """OR over the length-T window [i, i+T) along ``axis`` by
+    shift-doubling: O(log T) passes instead of T."""
+    h = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (0, t)
+    xp = jnp.pad(x, pad)
+
+    def shifted(arr, d):
+        start = [0, 0]
+        start[axis] = d
+        limit = list(xp.shape)
+        limit[axis] = d + h
+        return jax.lax.slice(arr, start, limit)
+
+    # acc covers offsets [0, span); double while 2*span <= t, then one
+    # final shift closes the remainder.
+    acc = shifted(xp, 0)
+    span = 1
+    while span * 2 <= t:
+        acc = acc | shifted(jnp.pad(acc, pad), span)
+        span *= 2
+    if span < t:
+        acc = acc | shifted(jnp.pad(acc, pad), t - span)
+    return acc
+
+
 def spread(quantized: jax.Array, t: int) -> jax.Array:
     """OR each pixel's bitmask over the TxT window anchored at the pixel
-    (shifts down/right read, i.e. dst[y,x] |= src[y+dy, x+dx])."""
-    h, w = quantized.shape
-    qp = jnp.pad(quantized, ((0, t), (0, t)))
-    out = jnp.zeros((h, w), jnp.uint8)
-    for dy in range(t):
-        for dx in range(t):
-            out = out | jax.lax.slice(qp, (dy, dx), (dy + h, dx + w))
-    return out
+    (shifts down/right read, i.e. dst[y,x] |= src[y+dy, x+dx]).
+
+    Separable (rows then columns) with shift-doubling: 2*O(log T) dense
+    passes instead of the T^2 shifted ORs of ``orUnaligned8u``
+    (linemod.cpp:882-965) — 6 passes at T=8 instead of 64.
+    """
+    rows = _or_window_1d(quantized, t, axis=1)
+    return _or_window_1d(rows, t, axis=0)
 
 
 def response_maps(spread_img: jax.Array) -> jax.Array:
@@ -47,15 +74,24 @@ def response_maps(spread_img: jax.Array) -> jax.Array:
     ORIENTATION_SCORES[d] over set bits at circular distance ``d``.
     """
     b = spread_img.astype(jnp.int32)
+
+    def rot(x, k):
+        """Circular 8-bit rotate-left by k: bit o of rot(x, k) is bit
+        (o - k) % 8 of x."""
+        return ((x << k) | (x >> (8 - k))) & 0xFF
+
+    # m1 has bit o set iff b has a bit at circular distance 1 from o, m2
+    # at distance <= 2 — computed ONCE for all 8 orientations.
+    m1 = rot(b, 1) | rot(b, 7)
+    m2 = m1 | rot(b, 2) | rot(b, 6)
+    s4, s2, s1 = ORIENTATION_SCORES[0], ORIENTATION_SCORES[1], \
+        ORIENTATION_SCORES[2]
     maps = []
     for ori in range(8):
-        exact = (b >> ori) & 1
-        n1 = ((b >> ((ori + 1) % 8)) | (b >> ((ori - 1) % 8))) & 1
-        n2 = ((b >> ((ori + 2) % 8)) | (b >> ((ori - 2) % 8))) & 1
         resp = jnp.where(
-            exact == 1, ORIENTATION_SCORES[0],
-            jnp.where(n1 == 1, ORIENTATION_SCORES[1],
-                      jnp.where(n2 == 1, ORIENTATION_SCORES[2], 0)))
+            ((b >> ori) & 1) == 1, s4,
+            jnp.where(((m1 >> ori) & 1) == 1, s2,
+                      jnp.where(((m2 >> ori) & 1) == 1, s1, 0)))
         maps.append(resp)
     return jnp.stack(maps).astype(jnp.uint8)
 
