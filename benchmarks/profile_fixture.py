@@ -29,9 +29,10 @@ from fealess_tpu import pipeline  # noqa: E402
 from fealess_tpu.engine import ObjReco  # noqa: E402
 from fealess_tpu.ops import image as fi  # noqa: E402
 from fealess_tpu.ops import quantize as q  # noqa: E402
-from fealess_tpu.ops import response  # noqa: E402
+from fealess_tpu.ops import response, score_pallas  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+STAGE_FILTER = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 ITERS = 30
 
 eng = ObjReco.create("LmICP")
@@ -42,7 +43,7 @@ det_cfg = engine_cfg.detector
 bank = jax.tree.map(lambda a: a[:N], eng.bank)
 model_depth = jnp.asarray(eng._model_depth)[:N]
 origins = jnp.asarray(eng._origins_array())[:N]
-kernels = det_mod.build_match_kernels(bank, det_cfg)
+tables = det_mod.build_match_tables(bank, det_cfg)
 
 bgr = jnp.asarray(cv2.imread(os.path.join(FIXTURE, "scene_bgr.png")))
 depth = jnp.asarray(cv2.imread(os.path.join(FIXTURE, "scene_depth.png"),
@@ -50,14 +51,11 @@ depth = jnp.asarray(cv2.imread(os.path.join(FIXTURE, "scene_depth.png"),
 fx, fy, cx, cy = np.loadtxt(os.path.join(FIXTURE, "cam.txt"))
 scene_k = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
 
-# Fixed operands, passed as jit ARGS (closure constants ship inside the
-# compile request and overflow the tunnel's body limit).
 OPS = dict(bank=bank, model_depth=model_depth, origins=origins,
-           kernels=kernels, depth=depth, scene_k=scene_k)
+           tables=tables, depth=depth, scene_k=scene_k)
 
 
 def slope(body_fn, iters=ITERS, reps=2):
-    """ms/frame of `body_fn(i, bgr_carry, ops) -> bgr_carry` via chain slope."""
     @jax.jit
     def chain(b, steps, ops):
         return jax.lax.fori_loop(
@@ -68,30 +66,28 @@ def slope(body_fn, iters=ITERS, reps=2):
         np.asarray(chain(bgr, n, OPS))
         return time.perf_counter() - t0
 
-    run(2)                                   # compile + warm
+    run(2)
     lo, hi = 2, 2 + iters
     ts = [run(n) for _ in range(reps) for n in (lo, hi)]
     return (min(ts[1::2]) - min(ts[0::2])) / iters * 1000.0
 
 
 def dep(b, x):
-    """Fold a scalar data dependency into the u8 carry (never fires)."""
-    return b + (x.astype(jnp.float32).sum() > jnp.float32(1e30)).astype(jnp.uint8)
+    return b + (x.astype(jnp.float32).sum()
+                > jnp.float32(1e30)).astype(jnp.uint8)
 
-
-# ---- stage bodies -------------------------------------------------------
 
 def full(i, b, ops):
     s = pipeline.recognize_top1(ops["bank"], ops["model_depth"],
                                 ops["origins"], b, ops["depth"],
                                 ops["scene_k"], engine_cfg,
-                                kernels=ops["kernels"])
-    return b + (s.similarity < -1e30).astype(jnp.uint8)
+                                kernels=ops["tables"])
+    return b + ((s.pose.sum() + s.similarity) < -1e30).astype(jnp.uint8)
 
 
 def match(i, b, ops):
     m = det_mod.match_bank(ops["bank"], b, ops["depth"], 75.0, det_cfg,
-                           kernels=ops["kernels"])
+                           kernels=ops["tables"])
     return b + (m.similarity[0] < -1e30).astype(jnp.uint8)
 
 
@@ -123,36 +119,19 @@ def normals(i, b, ops):
     return dep(b, dn.sum() + b[0, 0, 0].astype(jnp.uint32))
 
 
-def median_only(i, b, ops):
-    m = fi.median_blur5_u8(b[:, :, 0])
-    return dep(b, m.sum())
-
-
-def pyrdown_only(i, b, ops):
-    s = fi.pyr_down_u8(b)
-    return dep(b, s.sum())
-
-
-def planes_only(i, b, ops):
-    # spread+response+decimate on fixed quantized images (front-end minus
-    # the quantizers): approximate by requantizing once outside the dep.
-    qcg, _ = q.quantize_gradients(b, det_cfg.color_gradient.weak_threshold)
-    acc = jnp.uint32(0)
-    for l in range(det_cfg.pyramid_levels):
-        t = det_cfg.t_at_level[l]
-        src = qcg if l == 0 else qcg[::2, ::2]
-        acc = acc + response.build_level_2d(src, t).sum()
-    return dep(b, acc)
-
-
-def coarse_conv(i, b, ops):
-    # dense one-hot conv on fixed planes, carried dependency via b
+def coarse(i, b, ops):
+    # coarse Pallas scorer on fixed planes (front included once, small)
     l = det_cfg.pyramid_levels - 1
     t = det_cfg.t_at_level[l]
     qcg, _ = q.quantize_gradients(b[::2, ::2], 10.0)
     planes = jnp.concatenate([response.build_level_2d(qcg, t)] * 2, axis=0)
-    raw = det_mod._conv_scores(planes, ops["kernels"][l])
-    return dep(b, raw.sum())
+    raw = score_pallas.coarse_scores(planes, ops["tables"][l])
+    return dep(b, raw)
+
+
+def fullmatch_minus_coarse(i, b, ops):
+    # everything except coarse scoring: reuse match but on a tiny bank?
+    return b
 
 
 STAGES = [
@@ -163,14 +142,13 @@ STAGES = [
     ("grad L0 only", grad_l0),
     ("blur+sobel L0", blur_sobel),
     ("normals L0 only", normals),
-    ("median5 only", median_only),
-    ("pyrdown only", pyrdown_only),
-    ("planes cg L0+L1", planes_only),
-    ("coarse conv (incl small front)", coarse_conv),
+    ("coarse scorer (+sm front)", coarse),
 ]
 
 print(f"n_templates={N}")
 for name, fn in STAGES:
+    if STAGE_FILTER and not any(s in name for s in STAGE_FILTER):
+        continue
     try:
         ms = slope(fn)
         print(f"{name:32s} {ms:8.3f} ms/frame", flush=True)

@@ -88,16 +88,65 @@ def sobel3_i16(img: jax.Array, axis: str) -> jax.Array:
     return acc.astype(jnp.int16)
 
 
+def _even_odd(x: jax.Array, axis: int):
+    """(even-index, odd-index) views along ``axis`` via reshape (no
+    strided gather — minor-axis strides relayout on TPU)."""
+    shape = list(x.shape)
+    n = shape[axis]
+    shape[axis:axis + 1] = [n // 2, 2]
+    v = x.reshape(shape)
+    idx = [slice(None)] * v.ndim
+    idx[axis + 1] = 0
+    even = v[tuple(idx)]
+    idx[axis + 1] = 1
+    return even, v[tuple(idx)]
+
+
+def _pyr5_axis_even(x: jax.Array, axis: int) -> jax.Array:
+    """5-tap [1,4,6,4,1] filter along ``axis``, BORDER_REFLECT_101,
+    evaluated at EVEN output positions only (the pyrDown decimation) —
+    1/4 of the full-filter work, assembled from even/odd reshape views.
+
+    out[y] = e[y-1] + 4 o[y-1] + 6 e[y] + 4 o[y] + e[y+1]  (e/o = even/odd
+    input views; y-1/y+1 shifts with reflect-101 edge rows).
+    """
+    e, o = _even_odd(x, axis)
+    n = e.shape[axis]
+
+    def shift(a, d):
+        # a shifted by d along axis with reflect-101 boundary fill
+        sl = [slice(None)] * a.ndim
+        if d == -1:
+            sl[axis] = slice(0, n - 1)
+            body = a[tuple(sl)]
+            sl[axis] = slice(1, 2)          # reflect: x[-1] == x[1]
+            return jnp.concatenate([a[tuple(sl)], body], axis=axis)
+        sl[axis] = slice(1, n)
+        body = a[tuple(sl)]
+        # e[n] corresponds to x[H]; reflect-101 gives x[H-2] == e[n-1]
+        sl[axis] = slice(n - 1, n)
+        return jnp.concatenate([body, a[tuple(sl)]], axis=axis)
+
+    # odd view shifted by -1: o[y-1]; its reflect fill is o[0]'s mirror
+    # x[-1] = x[1] = o[0]  ->  shift(o, -1) edge row must be o[0]
+    sl = [slice(None)] * o.ndim
+    sl[axis] = slice(0, n - 1)
+    om1 = jnp.concatenate([jax.lax.slice_in_dim(o, 0, 1, axis=axis),
+                           o[tuple(sl)]], axis=axis)
+    return e * 6 + (om1 + o) * 4 + shift(e, -1) + shift(e, 1)
+
+
 def pyr_down_u8(img: jax.Array) -> jax.Array:
     """OpenCV ``pyrDown`` of a u8 image to half size (linemod.cpp:441).
 
     5-tap [1,4,6,4,1]/16 per axis in integer fixed point (combined /256,
-    round-half-up), BORDER_REFLECT_101, even-index decimation.  Supports
+    round-half-up), BORDER_REFLECT_101, even-index decimation — computed
+    at even output positions only (1/4 the full-filter work).  Supports
     (H, W) and (H, W, C); H and W must be even (640x480 operating point).
     """
-    acc = _sep_filter_int(img, _PYR5, "reflect101")
-    full = ((acc + 128) >> 8).astype(jnp.uint8)
-    return full[::2, ::2]
+    x = img.astype(jnp.int32)
+    acc = _pyr5_axis_even(_pyr5_axis_even(x, 0), 1)
+    return ((acc + 128) >> 8).astype(jnp.uint8)
 
 
 def resize_nn_half(img: jax.Array) -> jax.Array:

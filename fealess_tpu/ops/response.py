@@ -127,11 +127,71 @@ def decimate_2d(resp: jax.Array, t: int) -> jax.Array:
     return x.reshape(c * t * t, hd, wd)
 
 
+def decimate_quant(quant: jax.Array, t: int) -> jax.Array:
+    """(H, W) image -> (T*T, H/T, W/T) subgrids, channel a*T + b =
+    quant[a::T, b::T]."""
+    h, w = quant.shape
+    assert h % t == 0 and w % t == 0, (h, w, t)
+    x = quant.reshape(h // t, t, w // t, t)
+    return x.transpose(1, 3, 0, 2).reshape(t * t, h // t, w // t)
+
+
+def _or_scan_shift(q: jax.Array, t: int, res_axis: int, sp_axis: int
+                   ) -> jax.Array:
+    """One separable pass of the decimated spread: OR the length-T window
+    along one image axis, operating on residue-decimated subgrids.
+
+    For output residue ``a``: contributions come from residues >= a at
+    the same decimated position and residues < a at the next one:
+    ``out[a] = suffix_or(q)[a] | shift(prefix_or(q)[a])``, where the
+    prefix/suffix ORs run over ``res_axis`` and ``shift`` reads the next
+    decimated row/col along ``sp_axis`` (zero fill past the edge).
+    """
+    qs = jnp.moveaxis(q, res_axis, 0)
+    suf = [qs[t - 1]]
+    for a in range(t - 2, -1, -1):
+        suf.insert(0, qs[a] | suf[0])
+    pre = [jnp.zeros_like(qs[0])]
+    for a in range(1, t):
+        pre.append(pre[-1] | qs[a - 1])
+
+    sp = sp_axis if sp_axis < res_axis else sp_axis - 1  # axis in qs[a]
+    n = qs.shape[1 + sp]
+
+    def nxt(x):
+        body = jax.lax.slice_in_dim(x, 1, n, axis=sp)
+        pad = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=sp))
+        return jnp.concatenate([body, pad], axis=sp)
+
+    out = jnp.stack([suf[a] | nxt(pre[a]) for a in range(t)])
+    return jnp.moveaxis(out, 0, res_axis)
+
+
+def spread_decimated(q_dec: jax.Array, t: int) -> jax.Array:
+    """(T, T, Hd, Wd) decimated quant subgrids -> decimated SPREAD
+    subgrids of the same shape (== full-resolution :func:`spread`
+    sampled at the subgrid positions, without ever materializing the
+    full-resolution spread or relayouting 8 response channels)."""
+    rows = _or_scan_shift(q_dec, t, res_axis=0, sp_axis=2)
+    return _or_scan_shift(rows, t, res_axis=1, sp_axis=3)
+
+
 def build_level(quantized: jax.Array, t: int) -> jax.Array:
     """quantized bitmask image -> decimated response tensor for one level."""
     return decimate(response_maps(spread(quantized, t)), t)
 
 
 def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
-    """quantized bitmask image -> (8*T*T, H/T, W/T) decimated responses."""
-    return decimate_2d(response_maps(spread(quantized, t)), t)
+    """quantized bitmask image -> (8*T*T, H/T, W/T) decimated responses.
+
+    Decimates FIRST (one 1-channel relayout) and runs spread + response
+    math on the subgrid stack — equal to
+    ``decimate_2d(response_maps(spread(q, t)), t)`` (tested) but without
+    the 8*T*T-channel transpose that dominated the front-end.
+    """
+    h, w = quantized.shape
+    hd, wd = h // t, w // t
+    q_dec = decimate_quant(quantized, t).reshape(t, t, hd, wd)
+    sd = spread_decimated(q_dec, t).reshape(t * t, hd, wd)
+    r = response_maps(sd)                     # (8, T*T, Hd, Wd)
+    return r.reshape(8 * t * t, hd, wd)

@@ -126,3 +126,18 @@ def test_local_similarity_window(quant_img, rng):
                 xx = (base_x + wx) * t + fx[0, fi]
                 expect += int(resp[fl[0, fi], yy, xx])
             assert out[0, wy * 16 + wx] == expect, (wy, wx)
+
+
+def test_build_level_2d_decimate_first_equivalence(rng):
+    """The decimate-first fused pipeline must equal the reference-order
+    spread -> response -> decimate composition exactly."""
+    from fealess_tpu.ops import response as r
+
+    for t in (5, 8):
+        h, w = 16 * t, 24 * t
+        labels = rng.integers(0, 9, size=(h, w))
+        img = np.where(labels == 8, 0, 1 << np.minimum(labels, 7)).astype(np.uint8)
+        fused = np.asarray(r.build_level_2d(jnp.asarray(img), t))
+        ref = np.asarray(r.decimate_2d(r.response_maps(
+            r.spread(jnp.asarray(img), t)), t))
+        np.testing.assert_array_equal(fused, ref)

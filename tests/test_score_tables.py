@@ -1,0 +1,116 @@
+"""Oracle tests for the sparse score-table path (ops/score_pallas +
+detector.build_match_tables): random banks and planes scored against a
+direct numpy sum over features (the defining formula of
+``similarity``/``similarityLocal``, linemod.cpp:1130-1300)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fealess_tpu import config as cfg
+from fealess_tpu import detector
+from fealess_tpu.bank import TemplateBank
+from fealess_tpu.ops import score_pallas
+
+
+def _random_bank(rng, n, levels, mods, f, span_px, t_at_level):
+    shape = (n, levels, mods, f)
+    width = np.full((n, levels), span_px, np.int32)
+    for l in range(1, levels):
+        width[:, l] = span_px >> l
+    fx = np.zeros(shape, np.int32)
+    fy = np.zeros(shape, np.int32)
+    for l in range(levels):
+        fx[:, l] = rng.integers(0, max(span_px >> l, 1), (n, mods, f))
+        fy[:, l] = rng.integers(0, max(span_px >> l, 1), (n, mods, f))
+    return TemplateBank(
+        feat_x=jnp.asarray(fx), feat_y=jnp.asarray(fy),
+        feat_label=jnp.asarray(rng.integers(0, 8, shape)),
+        feat_valid=jnp.asarray(rng.random(shape) < 0.7),
+        width=jnp.asarray(width), height=jnp.asarray(width),
+        offset_x=jnp.zeros((n, levels), jnp.int32),
+        offset_y=jnp.zeros((n, levels), jnp.int32),
+        pose=jnp.zeros((n, 13), jnp.float32),
+        class_idx=jnp.zeros((n,), jnp.int32),
+        template_idx=jnp.arange(n, dtype=jnp.int32),
+        valid=jnp.ones((n,), bool),
+        class_names=("obj",), max_span=span_px + 1)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(3)
+
+
+def test_coarse_scores_match_direct_sum(rng):
+    t = 8
+    hd, wd = 12, 15
+    mods, f, n = 2, 16, 24
+    span = 5 * t          # 5 decimated cells
+    det_cfg = cfg.DetectorConfig(image_width=wd * t * 2,
+                                 image_height=hd * t * 2)
+    bank = _random_bank(rng, n, 2, mods, f, span, det_cfg.t_at_level)
+    l = 1
+    planes = rng.integers(0, 5, (mods * 8 * t * t, hd, wd), np.uint8)
+    tables = detector.build_match_tables(bank, det_cfg,
+                                         grid_hw=[(hd * 2, wd * 2),
+                                                  (hd, wd)])
+    got = np.asarray(score_pallas.coarse_scores(jnp.asarray(planes),
+                                                tables[l]))
+
+    fx = np.asarray(bank.feat_x)[:, l]
+    fy = np.asarray(bank.feat_y)[:, l]
+    fl = np.asarray(bank.feat_label)[:, l]
+    fv = np.asarray(bank.feat_valid)[:, l]
+    pad = np.pad(planes.astype(np.int64), ((0, 0), (0, 16), (0, 16)))
+    want = np.zeros((n, hd, wd), np.int64)
+    for ni in range(n):
+        for m in range(mods):
+            for fi in range(f):
+                if not fv[ni, m, fi]:
+                    continue
+                c = ((m * 8 + fl[ni, m, fi]) * t * t
+                     + (fy[ni, m, fi] % t) * t + fx[ni, m, fi] % t)
+                ry, rx = fy[ni, m, fi] // t, fx[ni, m, fi] // t
+                want[ni] += pad[c, ry:ry + hd, rx:rx + wd]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_local_scores_match_direct_sum(rng):
+    t = 5
+    hd, wd = 32, 48
+    mods, f, n = 2, 20, 10
+    span = 6 * t
+    det_cfg = cfg.DetectorConfig(image_width=wd * t, image_height=hd * t)
+    bank = _random_bank(rng, n, 2, mods, f, span, det_cfg.t_at_level)
+    l = 0
+    planes = rng.integers(0, 5, (mods * 8 * t * t, hd, wd), np.uint8)
+    tables = detector.build_match_tables(bank, det_cfg,
+                                         grid_hw=[(hd, wd),
+                                                  (hd // 2, wd // 2)])
+    k = 7
+    slots = jnp.asarray(rng.integers(0, n, (k,)))
+    px0 = jnp.asarray(rng.integers(0, wd - 16 - 6, (k,)), jnp.int32)
+    py0 = jnp.asarray(rng.integers(0, hd - 16 - 6, (k,)), jnp.int32)
+    table_k = {key: tables[l][key][slots] for key in tables[l]}
+    got = np.asarray(score_pallas.local_scores(
+        jnp.asarray(planes), table_k, px0, py0))
+
+    fx = np.asarray(bank.feat_x)[:, l]
+    fy = np.asarray(bank.feat_y)[:, l]
+    fl = np.asarray(bank.feat_label)[:, l]
+    fv = np.asarray(bank.feat_valid)[:, l]
+    pad = np.pad(planes.astype(np.int64), ((0, 0), (0, 32), (0, 96)))
+    want = np.zeros((k, 16, 16), np.int64)
+    for ki in range(k):
+        ni = int(slots[ki])
+        for m in range(mods):
+            for fi in range(f):
+                if not fv[ni, m, fi]:
+                    continue
+                c = ((m * 8 + fl[ni, m, fi]) * t * t
+                     + (fy[ni, m, fi] % t) * t + fx[ni, m, fi] % t)
+                a = int(py0[ki]) + fy[ni, m, fi] // t
+                b = int(px0[ki]) + fx[ni, m, fi] // t
+                want[ki] += pad[c, a:a + 16, b:b + 16]
+    np.testing.assert_array_equal(got, want)
