@@ -187,6 +187,10 @@ class ObjReco:
                 f"{missing[0]}")  # ERROR_OPEN_FILE_FAILED
         get_logger().debug("loaded %d model depths", slot)
         self._model_depth = out
+        # device-resident copies for the fused Recognition step (uploaded
+        # once per add_obj, not per frame)
+        self._model_depth_dev = jnp.asarray(out)
+        self._origins_dev = jnp.asarray(self._origins_array())
 
     def set_roi(self, roi_mask: np.ndarray) -> None:
         """SetROI is a stub in the reference (obj_reco_lmicp.cpp:81-84)."""
@@ -334,23 +338,45 @@ class ObjReco:
         """Full Recognition (obj_reco_lmicp.cpp:86-204): resize to the
         processing width, match, take the top match, ICP-refine its pose.
         ``roi_mask`` (processing resolution) gates matching to a region —
-        the tracker-gated path (linemod_acq.cpp:136-191)."""
+        the tracker-gated path (linemod_acq.cpp:136-191).
+
+        The unmasked path is the FUSED device step
+        (pipeline.recognize_top1): match + top-1 select + refine compile
+        into one program and the host does exactly one device round trip
+        per frame, so CLI throughput matches bench.py.  The masked path
+        keeps the two-call orchestration (matching under a runtime mask).
+        """
         if self.bank is None:
             raise RuntimeError("add_obj not called")
         d = self.cfg.detector
         rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
                                                           depth_u16, cam)
         if roi_mask is None:
-            matches = det_mod.match_bank_jit(
-                self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
-                float(self.cfg.matching_threshold), d,
-                kernels=self._kernels)
-        else:
-            matches = det_mod.match_bank_masked_jit(
-                self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
-                jnp.asarray(roi_mask.astype(bool)),
-                float(self.cfg.matching_threshold), d,
-                kernels=self._kernels)
+            import jax
+
+            step = pipeline.recognize_top1_jit(
+                self.bank, self._model_depth_dev, self._origins_dev,
+                jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
+                self.cfg, kernels=self._kernels)
+            host = jax.device_get(step)          # one bulk fetch
+            if not bool(host.valid):
+                return []
+            slot = int(host.template_slot)
+            return [RecoResult(
+                obj_tag=self.bank.class_names[int(host.class_idx)],
+                world2cam=np.asarray(host.pose),
+                similarity=float(host.similarity),
+                icp_dist=float(host.refine.icp.dist_mean),
+                inlier_ratio=float(host.refine.icp.inlier_ratio),
+                match_rect=(float(host.match_x), float(host.match_y),
+                            float(np.asarray(self.bank.width)[slot, 0]),
+                            float(np.asarray(self.bank.height)[slot, 0])))]
+
+        matches = det_mod.match_bank_masked_jit(
+            self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
+            jnp.asarray(roi_mask.astype(bool)),
+            float(self.cfg.matching_threshold), d,
+            kernels=self._kernels)
         valid = np.asarray(matches.valid)
         if not valid.any():
             return []

@@ -52,9 +52,18 @@ def _merge_matches(m: Matches, k: int) -> Matches:
 def match_bank_sharded(bank: TemplateBank, bgr: jax.Array,
                        depth_mm: jax.Array, threshold: float,
                        det: cfg.DetectorConfig, mesh: Mesh,
-                       axis: str = "t") -> Matches:
+                       axis: str = "t", tables=None) -> Matches:
     """Template-sharded match.  ``bank`` arrays must be shardable on their
     leading axis by the mesh's ``axis`` size.  Returns merged global top-K.
+
+    The frame-dependent front-end (quantized pyramid + response planes)
+    is computed ONCE outside the shard_map — it is template-independent,
+    so sharding it would only replicate work (r2 rebuilt the full pyramid
+    in every shard) — and only the template-dependent scoring runs per
+    shard on its bank slice, so the per-device score work scales as
+    1/n_shards.  Score ``tables`` (detector.build_match_tables) are built
+    once at full N (cheap elementwise math) and fed to the shards split
+    on their template axis, or pass precomputed ones.
 
     Note: ``template_slot`` in the result indexes the GLOBAL bank (shard
     offset re-applied inside the shard).
@@ -66,8 +75,20 @@ def match_bank_sharded(bank: TemplateBank, bgr: jax.Array,
 
     class_names = bank.class_names
 
-    def local_match(bank_shard: TemplateBank, bgr, depth_mm):
-        m = det_mod.match_bank(bank_shard, bgr, depth_mm, threshold, det)
+    # ---- replicated front-end: frame-dependent, template-independent
+    levels = det_mod.quantized_pyramid(bgr, depth_mm, det)
+    planes = det_mod.response_planes(levels, det)
+    plane_arrays = tuple(p for p, _ in planes)
+    plane_hw = tuple(hw for _, hw in planes)
+    if tables is None:
+        tables = det_mod.build_match_tables(
+            bank, det, grid_hw=[(p.shape[1], p.shape[2])
+                                for p in plane_arrays])
+
+    def local_match(bank_shard: TemplateBank, tables_shard, *pl):
+        planes_l = [(pl[i], plane_hw[i]) for i in range(len(pl))]
+        m = det_mod.match_from_planes(bank_shard, planes_l, threshold, det,
+                                      kernels=tables_shard)
         shard_id = jax.lax.axis_index(axis)
         slot = m.template_slot + shard_id * shard_n
         return Matches(x=m.x, y=m.y, similarity=m.similarity,
@@ -80,16 +101,20 @@ def match_bank_sharded(bank: TemplateBank, bgr: jax.Array,
         offset_x=P(axis), offset_y=P(axis), pose=P(axis),
         class_idx=P(axis), template_idx=P(axis), valid=P(axis),
         class_names=class_names, max_span=bank.max_span)
+    table_specs = tuple(
+        None if tl is None else {key: P(axis) for key in tl}
+        for tl in tables)
 
     fn = shard_map(local_match, mesh=mesh,
-                   in_specs=(bank_specs, P(), P()),
+                   in_specs=(bank_specs, table_specs) + (P(),) * len(
+                       plane_arrays),
                    out_specs=Matches(x=P(axis), y=P(axis),
                                      similarity=P(axis),
                                      template_slot=P(axis),
                                      class_idx=P(axis),
                                      template_idx=P(axis), valid=P(axis)),
                    check_vma=False)
-    merged = fn(bank, bgr, depth_mm)       # leading axis = nshards * K
+    merged = fn(bank, tables, *plane_arrays)   # leading axis = nshards * K
     return _merge_matches(merged, det.max_candidates)
 
 

@@ -151,6 +151,14 @@ def recognize_multi_jit(bank, model_depth_stack, depth_origins, bgr,
                            kernels)
 
 
+@functools.partial(jax.jit, static_argnames=("engine",))
+def recognize_top1_jit(bank, model_depth_stack, depth_origins, bgr,
+                       scene_depth_u16, scene_k, engine: cfg.EngineConfig,
+                       kernels=None) -> "RecoStep":
+    return recognize_top1(bank, model_depth_stack, depth_origins, bgr,
+                          scene_depth_u16, scene_k, engine, kernels)
+
+
 @functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
 def refine_match_jit(scene_depth_u16, scene_k, model_depth_u16, template_k,
                      rect_w, rect_h, model_x0, model_y0, match_x, match_y,
