@@ -32,14 +32,25 @@ CObjRecoCAD::Recognition single-core on this same fixture reach
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = os.path.join(HERE, "benchmarks", "reference", "out")
+SEQ = os.path.join(HERE, "benchmarks", "reference", "seq")
 # Measured single-core C++ reference on the identical fixture (BASELINE.md).
 BASELINE_FPS = {128: 16.6, 1024: 13.3}
+# Config 2: the unmodified reference over the 30-view sequence bank
+# (benchmarks/reference/run_parity.py, PARITY_r03.json: 56.74 ms/frame).
+SEQ_BASELINE_FPS = 17.6
+# Config 3: reference KCF update on 640x480 w/ the fixture-sized ROI
+# (kcf_bench track: 6.38 ms) + reference recognition on the fixture
+# (60.1 ms) — the two stages the gated demo loop runs per frame
+# (test/linemod_acq.cpp:136-191).
+TRACK_BASELINE_FPS = 1000.0 / (60.1 + 6.38)
 WARMUP = 3
 ITERS = 40
 
@@ -64,6 +75,142 @@ def _chain_fps(chain, bgr):
         times.append(time.perf_counter() - t0)
     dt = (min(times[1], times[3]) - min(times[0], times[2])) / ITERS
     return 1.0 / dt
+
+
+def _bench_series_recon(lines):
+    """Config 2: full-series recognition on the 30-view sequence bank
+    (the linemod_recon loop, test/linemod_recon.cpp:44-111): frames cycle
+    through the rendered test sequence ON DEVICE, each step consuming the
+    previous result."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from fealess_tpu import pipeline
+    from fealess_tpu.engine import ObjReco
+
+    if not os.path.exists(os.path.join(SEQ, "frames", "gt_poses.npy")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(HERE, "benchmarks", "reference",
+                          "make_sequence.py")],
+            check=True, capture_output=True, text=True)
+
+    eng = ObjReco.create("LmICP")
+    eng.add_obj(os.path.join(SEQ, "features"))
+    fx, fy, cx, cy = np.loadtxt(os.path.join(SEQ, "cam.txt"))
+    scene_k = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                          jnp.float32)
+    n_frames = 8
+    bgrs = jnp.asarray(np.stack([
+        cv2.imread(os.path.join(SEQ, "frames", f"color_{i:03d}.png"))
+        for i in range(n_frames)]))
+    depths = jnp.asarray(np.stack([
+        cv2.imread(os.path.join(SEQ, "frames", f"depth_{i:03d}.png"),
+                   cv2.IMREAD_UNCHANGED) for i in range(n_frames)]))
+    ecfg = eng.cfg
+
+    @jax.jit
+    def chain(c0, steps, bgrs, depths, bank, md, org, kern, k):
+        def body(i, c):
+            idx = (i + c) % n_frames          # data-dep frame selection
+            bgr = jax.lax.dynamic_index_in_dim(bgrs, idx, keepdims=False)
+            dep = jax.lax.dynamic_index_in_dim(depths, idx, keepdims=False)
+            step = pipeline.recognize_top1(bank, md, org, bgr, dep, k,
+                                           ecfg, kernels=kern)
+            return c + ((step.pose.sum() + step.similarity)
+                        < -1e30).astype(jnp.int32)
+        return jax.lax.fori_loop(0, steps, body, c0)
+
+    args = (bgrs, depths, eng.bank, eng._model_depth_dev,
+            eng._origins_dev, eng._kernels, scene_k)
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chain(jnp.int32(0), n, *args))
+        return time.perf_counter() - t0
+
+    run(WARMUP)
+    ts = [run(n) for _ in range(2) for n in (3, 3 + ITERS)]
+    dt = (min(ts[1::2]) - min(ts[0::2])) / ITERS
+    fps = 1.0 / dt
+    lines.append({
+        "metric": "series_recon_fps_640x480_30view_bank",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / SEQ_BASELINE_FPS, 2),
+    })
+
+
+def _bench_tracked(lines, eng, bgr_np, depth, scene_k):
+    """Config 3: KCF-gated pipeline (the commented-out reference demo,
+    test/linemod_acq.cpp:103-196): per frame, one KCF update + ROI-masked
+    match + top-1 ICP refine, all chained on device."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu import pipeline
+    from fealess_tpu.tracker.kcf import KcfTracker, kcf_reference_config
+
+    ecfg = eng.cfg
+    det = ecfg.detector
+    n = 128
+    bank, md, org = _slice_bank(eng.bank, jnp.asarray(eng._model_depth),
+                                jnp.asarray(eng._origins_array()), n)
+    kern = det_mod.build_match_tables(bank, det)
+    h, w = bgr_np.shape[:2]
+    n_frames = 8
+    frames = jnp.asarray(np.stack([
+        np.roll(np.roll(bgr_np, i, axis=1), i // 2, axis=0)
+        for i in range(n_frames)]))
+
+    tracker = KcfTracker(kcf_reference_config(hog=True, fixed_window=True,
+                                              multiscale=True, lab=False))
+    state0 = tracker.init((240.0, 160.0, 192.0, 160.0), bgr_np)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    @jax.jit
+    def chain(state, steps, frames, bank, md, org, kern, depth, k):
+        def body(i, carry):
+            st, c = carry
+            idx = (i + c) % n_frames
+            bgr = jax.lax.dynamic_index_in_dim(frames, idx, keepdims=False)
+            st, _ = tracker._update(st, bgr)
+            x, y, rw, rh = st.roi[0], st.roi[1], st.roi[2], st.roi[3]
+            ex, ey = 0.2 * rw, 0.2 * rh          # roi_expand 1.4
+            mask = ((xx >= x - ex) & (xx < x + rw + ex)
+                    & (yy >= y - ey) & (yy < y + rh + ey))
+            m = det_mod.match_bank(bank, bgr, depth,
+                                   ecfg.matching_threshold, det,
+                                   masks=[mask, mask], kernels=kern)
+            pose, _ = pipeline._refine_candidate(
+                bank, md, org, depth, k, m.template_slot[0], m.x[0],
+                m.y[0], ecfg, md.shape[-1])
+            return st, c + ((pose.sum() + m.similarity[0])
+                            < -1e30).astype(jnp.int32)
+        st, c = jax.lax.fori_loop(0, steps, body, (state, jnp.int32(0)))
+        return st.roi + c.astype(jnp.float32)
+
+    args = (frames, bank, md, org, kern, depth, scene_k)
+
+    def run(nn):
+        t0 = time.perf_counter()
+        np.asarray(chain(state0, nn, *args))
+        return time.perf_counter() - t0
+
+    run(WARMUP)
+    ts = [run(nn) for _ in range(2) for nn in (3, 3 + ITERS)]
+    dt = (min(ts[1::2]) - min(ts[0::2])) / ITERS
+    fps = 1.0 / dt
+    lines.append({
+        "metric": "kcf_gated_tracking_fps_640x480_128t",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / TRACK_BASELINE_FPS, 2),
+    })
 
 
 def main():
@@ -96,11 +243,13 @@ def main():
         "fixture bank slots differ; 128t prefix slice is not the baseline workload"
 
     lines = []
-    for n in (128, 1024):
+    _bench_series_recon(lines)                       # config 2
+    _bench_tracked(lines, eng, bgr_np, depth, scene_k)   # config 3
+    for n in (128, 1024):                            # config 1 (+4's point)
         bank, model_depth, origins = _slice_bank(
             eng.bank, full_model_depth, full_origins, n)
         kernels = jax.block_until_ready(
-            det_mod.build_match_kernels(bank, engine_cfg.detector))
+            det_mod.build_match_tables(bank, engine_cfg.detector))
 
         @jax.jit
         def chain(b, steps, bank, model_depth, origins, kernels, d, k):

@@ -58,3 +58,40 @@ def blit_template(image: np.ndarray, template_gray: np.ndarray,
         tpl = tpl[..., None]
     np.maximum(sub, tpl, out=sub)
     return image
+
+
+def save_ply(path: str, points: np.ndarray,
+             colors: Optional[np.ndarray] = None,
+             valid: Optional[np.ndarray] = None) -> int:
+    """Write a point cloud as ASCII PLY for external 3D viewers.
+
+    The debug role of the reference's PCL cloud viewers (show_cloud /
+    show_mesh behind NEED_PCL_DEBUG, ICP/common.cpp:107-259) without the
+    PCL dependency: dump any (N, 3) cloud (mm or m) at ICP stages and
+    open it in MeshLab/CloudCompare.  ``colors`` is (N, 3) u8 BGR (OpenCV
+    order; written as RGB); ``valid`` masks rows.  Returns points written.
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    if valid is not None:
+        keep = np.asarray(valid, bool).reshape(-1)
+    else:
+        keep = np.isfinite(pts).all(axis=1)
+    pts = pts[keep]
+    cols = None
+    if colors is not None:
+        cols = np.asarray(colors, np.uint8).reshape(-1, 3)[keep]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(pts)}\n"
+                "property float x\nproperty float y\nproperty float z\n")
+        if cols is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        for i, p in enumerate(pts):
+            line = f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}"
+            if cols is not None:
+                c = cols[i]
+                line += f" {c[2]} {c[1]} {c[0]}"
+            f.write(line + "\n")
+    return len(pts)

@@ -102,11 +102,17 @@ class ObjReco:
             max_features=self.cfg.detector.max_features,
             max_templates=self.cfg.detector.max_templates)
         self.cfg = dataclasses.replace(self.cfg, detector=det_cfg)
-        if sum(len(v) for v in classes.values()) == 0:
+        n_real = sum(len(v) for v in classes.values())
+        if n_real == 0:
             raise IOError(f"no classes in {yml}")  # ERROR_OPEN_FILE_FAILED
+        # Size the packed bank to the loaded templates (rounded up to the
+        # Pallas scorer's block) instead of always padding to
+        # max_templates: every match stage is O(capacity), so a 30-view
+        # bank must not pay a 1024-slot bank's coarse/top-K cost.
+        cap = min(self.cfg.detector.max_templates, -(-n_real // 8) * 8)
         self.bank = pack_bank(classes, levels=det_cfg.pyramid_levels,
                               modalities=len(det_cfg.modalities),
-                              capacity=self.cfg.detector.max_templates,
+                              capacity=cap,
                               max_features=det_cfg.max_features)
         # score tables for the sparse Pallas scorer: bank-dependent only,
         # build once here instead of per frame

@@ -182,8 +182,10 @@ class KcfTracker:
         def hann1(n):
             return 0.5 * (1.0 - np.cos(
                 2.0 * np.pi * np.arange(n) / (n - 1)))
-        self._hann = jnp.asarray(
-            np.outer(hann1(hc), hann1(wc)).astype(np.float32))
+        # Host-side numpy constants: closed-over DEVICE arrays would be
+        # fetched back to host during tracing (mlir constant embedding),
+        # and complex transfers are unimplemented over the axon tunnel.
+        self._hann = np.outer(hann1(hc), hann1(wc)).astype(np.float32)
 
         # Gaussian peak ŷ (createGaussianPeak, kcftracker.cpp:329-348).
         out_sigma = np.sqrt(float(wc * hc)) / c.padding \
@@ -192,7 +194,7 @@ class KcfTracker:
         iy = np.arange(hc)[:, None] - hc // 2
         ix = np.arange(wc)[None, :] - wc // 2
         peak = np.exp(mult * (iy * iy + ix * ix)).astype(np.float32)
-        self._prob = jnp.fft.fft2(jnp.asarray(peak))
+        self._prob = np.fft.fft2(peak).astype(np.complex64)
 
         self._update_jit = jax.jit(self._update)
         self._init_jit = jax.jit(self._init_state)
