@@ -242,7 +242,15 @@ def main():
     assert np.array_equal(fx[0], fx[500]) and np.array_equal(fx[0], fx[1023]), \
         "fixture bank slots differ; 128t prefix slice is not the baseline workload"
 
-    lines = []
+    class _EmitList(list):
+        """Print each result line the moment it is measured: a timeout in
+        the driver then still records every completed config (it parses
+        the LAST printed JSON line; the 1024t headline prints last)."""
+        def append(self, item):
+            print(json.dumps(item), flush=True)
+            super().append(item)
+
+    lines = _EmitList()
     _bench_series_recon(lines)                       # config 2
     _bench_tracked(lines, eng, bgr_np, depth, scene_k)   # config 3
     for n in (128, 1024):                            # config 1 (+4's point)
@@ -276,9 +284,6 @@ def main():
             "unit": "frames/s/chip",
             "vs_baseline": round(fps / BASELINE_FPS[n], 2),
         })
-
-    for line in lines:
-        print(json.dumps(line))
 
 
 if __name__ == "__main__":
