@@ -204,10 +204,11 @@ def _local_prepare(table_k, px0, py0, hd):
     py0c = jnp.maximum(py0, 0)
     a = py0c[:, None] + table_k["ry"]             # (K, F) window start row
     ok = (a >= 0) & (a <= hd)
-    bmax = jnp.clip(128 - w16 - px0c, 0, None)    # max usable bucket + 1
+    # bucket b reads lanes px0c + b + [0, 16): usable iff b <= 112 - px0c
+    bmax = jnp.clip(128 - w16 - px0c, -1, None)   # max usable bucket index
     bstart = table_k["bstart"]
     cap = jnp.take_along_axis(
-        bstart, jnp.minimum(bmax, bstart.shape[1] - 1)[:, None], axis=1)
+        bstart, jnp.minimum(bmax + 1, bstart.shape[1] - 1)[:, None], axis=1)
     bstart_c = jnp.minimum(bstart, cap)
     return px0c, a, ok, bstart_c
 
