@@ -6,7 +6,9 @@ Reproduces ``Detector::match``/``matchClass`` (linemod/linemod.cpp:
 - quantized pyramid -> spread -> response maps -> decimated planes per
   (level, modality) (the dense reformulation of "linear memories"),
 - coarse whole-image scores for EVERY template at the lowest pyramid level
-  (the reference loops templates serially; here it is one batched gather),
+  (the reference loops templates serially; here it is the sparse Pallas
+  accumulator of fealess_tpu.ops.score_pallas over bucket-sorted score
+  tables),
 - static top-K candidate selection (the reference keeps all
   above-threshold candidates; we keep the K best by score, K =
   ``DetectorConfig.max_candidates`` — a documented divergence that is
@@ -205,9 +207,9 @@ def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                kernels=None) -> Matches:
     """Full match over the template bank. All shapes static; jit-safe.
 
-    ``kernels`` are the per-level one-hot conv kernels from
-    :func:`build_match_kernels`; pass precomputed ones to skip the
-    scatter-build (they depend only on the bank)."""
+    ``kernels`` are the per-level score tables from
+    :func:`build_match_tables`; pass precomputed ones to skip the
+    rebuild (they depend only on the bank)."""
     levels = quantized_pyramid(bgr, depth_mm, det, masks)
     planes = response_planes(levels, det)
     return match_from_planes(bank, planes, threshold, det, kernels)
