@@ -218,6 +218,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache (best-effort: cache errors are warnings,
+    # jax_raise_persistent_cache_errors defaults False) — the bench is
+    # compile-bound over the tunnel on cold runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from fealess_tpu import detector as det_mod
     from fealess_tpu import pipeline
     from fealess_tpu.engine import ObjReco
