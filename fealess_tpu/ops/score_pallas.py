@@ -73,6 +73,18 @@ def _shift_lanes(x: jax.Array, b: int) -> jax.Array:
     return jnp.concatenate([x[:, b:], x[:, :b]], axis=1)
 
 
+def _shift_lanes_zero(x: jax.Array, b: int) -> jax.Array:
+    """out[..., j] = x[..., j + b] for j + b < 128, else 0 (static
+    zero-filling lane shift).  Used by the local kernel: a read past the
+    128-lane tile is a read past the image (planes are zero-padded from
+    Wd to 128), so zero IS the exact per-feature out-of-bounds discard of
+    similarityLocal (linemod.cpp:1257-1258) — gating per window column,
+    not per bucket."""
+    if b == 0:
+        return x
+    return jnp.concatenate([x[:, b:], jnp.zeros_like(x[:, :b])], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Coarse whole-image scorer
 # ---------------------------------------------------------------------------
@@ -187,30 +199,24 @@ def _local_kernel(nb: int, f: int):
             bacc = jax.lax.fori_loop(
                 bstart_ref[kk, b], bstart_ref[kk, b + 1], inner,
                 jnp.zeros((w16, 128), jnp.int32))
-            acc = acc + _shift_lanes(bacc, b)
+            acc = acc + _shift_lanes_zero(bacc, b)
         # window lanes [px0, px0+16) -> lanes [0, 16)
         out_ref[0] = pltpu.roll(acc, -px0_ref[kk], axis=1)
     return kernel
 
 
 def _local_prepare(table_k, px0, py0, hd):
-    """Common gating: clamp window origins non-negative, bound rows to
-    the plane, drop buckets whose lanes leave the 128-lane tile (the
-    reference's per-feature out-of-bounds discard, linemod.cpp:1257-1258,
-    reachable only for degenerate template-bigger-than-search-area
-    clamps)."""
-    w16 = LOCAL_WINDOW
+    """Common gating: clamp window origins non-negative and bound rows to
+    the plane (redirecting out-of-row features to the zero group).  Lane
+    bounds need no table gating: the zero-filling bucket shift plus the
+    zero padding from Wd to lane 128 give every window column its exact
+    value — in-image reads score, out-of-image reads contribute 0, the
+    reference's per-feature bounds discard (linemod.cpp:1257-1258)."""
     px0c = jnp.maximum(px0, 0)
     py0c = jnp.maximum(py0, 0)
     a = py0c[:, None] + table_k["ry"]             # (K, F) window start row
     ok = (a >= 0) & (a <= hd)
-    # bucket b reads lanes px0c + b + [0, 16): usable iff b <= 112 - px0c
-    bmax = jnp.clip(128 - w16 - px0c, -1, None)   # max usable bucket index
-    bstart = table_k["bstart"]
-    cap = jnp.take_along_axis(
-        bstart, jnp.minimum(bmax + 1, bstart.shape[1] - 1)[:, None], axis=1)
-    bstart_c = jnp.minimum(bstart, cap)
-    return px0c, a, ok, bstart_c
+    return px0c, a, ok
 
 
 def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
@@ -222,7 +228,7 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
     cq = packed.shape[0]
     d2 = packed.reshape(cq * hpad, 128)
 
-    px0c, a, ok, bstart_c = _local_prepare(table_k, px0, py0, hd)
+    px0c, a, ok = _local_prepare(table_k, px0, py0, hd)
     cc = table_k["c"]
     rows = jnp.where(ok, (cc // 4) * hpad + a, (cq - 1) * hpad)
     sh = jnp.where(ok, 8 * (cc % 4), 0).astype(jnp.int32)
@@ -241,31 +247,31 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
         out_specs=pl.BlockSpec((1, w16, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, w16, 128), jnp.int32),
-    )(rows.astype(jnp.int32), sh, bstart_c.astype(jnp.int32),
+    )(rows.astype(jnp.int32), sh, table_k["bstart"].astype(jnp.int32),
       px0c.astype(jnp.int32), d2)
     return out[:, :, :w16]
 
 
 def _local_scores_xla(planes: jax.Array, table_k, px0, py0) -> jax.Array:
-    """Identical arithmetic via per-feature window slices (CPU path)."""
+    """Identical arithmetic via per-feature window slices.  Width-agnostic
+    (any Wd): serves both as the CPU twin of the TPU kernel and as the
+    TPU fallback for processing widths beyond the kernel's 128-lane
+    contract."""
     c, hd, wd = planes.shape
     w16 = LOCAL_WINDOW
+    nb = table_k["bstart"].shape[1] - 1
+    # Zero-pad one redirect channel, w16 rows, and the widest window read
+    # (bc <= px0c + nb - 1 with px0c <= wd): reads past the image score 0,
+    # the per-feature bounds discard of similarityLocal.
     padded = jnp.pad(planes.astype(jnp.int32),
-                     ((0, 1), (0, w16), (0, 128 - wd)))
-    px0c, a, ok, bstart_c = _local_prepare(table_k, px0, py0, hd)
+                     ((0, 1), (0, w16), (0, nb + w16)))
+    px0c, a, ok = _local_prepare(table_k, px0, py0, hd)
     k, f = a.shape
-    # feature f of candidate k is iterated iff it lies before its
-    # bucket's (clamped) end — recover that gate from bstart_c.
-    nb = bstart_c.shape[1] - 1
-    fids = jnp.arange(f)[None, :]
-    live = jnp.zeros((k, f), bool)
-    for b in range(nb):
-        live = live | ((fids >= bstart_c[:, b:b + 1])
-                       & (fids < bstart_c[:, b + 1:b + 2]))
+    nvalid = table_k["bstart"][:, -1]
+    live = jnp.arange(f)[None, :] < nvalid[:, None]
     cc = jnp.where(ok & live, table_k["c"], c)      # zero channel
     ac = jnp.where(ok & live, a, 0)
-    bc = px0c[:, None] + table_k["rx"]
-    bc = jnp.clip(bc, 0, 128 - w16)
+    bc = jnp.minimum(px0c[:, None] + table_k["rx"], wd)
 
     def step(acc, packed):
         ccol, acol, bcol = packed
@@ -283,14 +289,20 @@ def local_scores(planes: jax.Array, table_k, px0, py0) -> jax.Array:
     (``similarityLocal``, linemod.cpp:1226-1300).
 
     Args:
-      planes: (C, Hd, Wd) u8 decimated response planes (all modalities;
-        Wd <= 128 — level-0 640/T=5 is exactly 128).
+      planes: (C, Hd, Wd) u8 decimated response planes (all modalities).
+        Wd <= 128 rides the Pallas kernel (level-0 640/T=5 is exactly
+        128); wider planes fall back to the width-agnostic XLA scorer,
+        mirroring the coarse scorer's size fallback.
       table_k: per-candidate slot-gathered table arrays — ``c``/``ry``/
         ``rx`` (K, F) bucket-sorted features, ``bstart`` (K, NB+1).
       px0 / py0: (K,) i32 decimated window origins (may be negative only
         for degenerate clamps; clamped to 0 with the out-of-window
-        features discarded).
+        features discarded).  The TPU kernel additionally requires
+        px0 <= Wd - 16, which the detector's candidate clamp guarantees
+        (linemod.cpp:1515-1534 semantics).
     """
-    if jax.default_backend() == "tpu":
+    wd = planes.shape[2]
+    nb = table_k["bstart"].shape[1] - 1
+    if jax.default_backend() == "tpu" and wd <= 128 and nb < 128:
         return _local_scores_tpu(planes, table_k, px0, py0)
     return _local_scores_xla(planes, table_k, px0, py0)

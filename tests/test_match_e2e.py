@@ -94,6 +94,43 @@ def test_no_match_on_blank_scene(det_cfg, trained):
     assert not np.asarray(m.valid).any()
 
 
+def test_match_wide_image_right_edge():
+    """A processing width beyond the 640 contract (level-0 Wd = 160 >
+    128 lanes) must match correctly — the local scorer falls back to its
+    width-agnostic path (ADVICE r3) — including an object flush against
+    the right image border (right-edge window reads)."""
+    wh, ww = 320, 800                  # div by 5 and by 16 (level-1 T=8)
+    rng2 = np.random.default_rng(11)
+    bgr = np.full((wh, ww, 3), 40, np.uint8)
+    bgr += rng2.integers(0, 12, size=bgr.shape, dtype=np.uint8)
+    ys, xs = slice(128, 192), slice(ww - 100, ww - 4)
+    yy, xx = np.mgrid[ys, xs]
+    tex = (128 + 90 * np.sin(xx / 6.0) * np.cos(yy / 5.0)).astype(np.uint8)
+    bgr[ys, xs, 0] = tex
+    bgr[ys, xs, 1] = 255 - tex
+    bgr[ys, xs, 2] = 200
+    depth = np.full((wh, ww), 1200, np.uint16)
+    yy2, xx2 = np.mgrid[0:64, 0:96].astype(np.float32)
+    depth[ys, xs] = (700 + 0.8 * xx2 + 0.5 * yy2).astype(np.uint16)
+    mask = np.zeros((wh, ww), bool)
+    mask[ys, xs] = True
+
+    dcfg = cfg.DetectorConfig(image_width=ww, image_height=wh,
+                              max_candidates=16)
+    view = training.add_template(bgr, depth, mask,
+                                 np.arange(13, dtype=np.float32), dcfg)
+    assert view is not None
+    bank = pack_bank({"obj": [view]}, levels=dcfg.pyramid_levels)
+    m = detector.match_bank(bank, jnp.asarray(bgr), jnp.asarray(depth),
+                            75.0, dcfg)
+    assert np.asarray(m.valid).any()
+    assert np.asarray(m.similarity)[0] >= 95.0
+    assert abs(int(np.asarray(m.x)[0]) - view.offset_x[0]) <= \
+        dcfg.t_at_level[0]
+    assert abs(int(np.asarray(m.y)[0]) - view.offset_y[0]) <= \
+        dcfg.t_at_level[0]
+
+
 def test_match_translated_object(scene, det_cfg, trained):
     """Shift the whole scene; the match position must shift with it."""
     bgr, depth, mask = scene

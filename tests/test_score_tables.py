@@ -76,6 +76,87 @@ def test_coarse_scores_match_direct_sum(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def _local_oracle(planes, bank, slots, px0, py0, t, l=0):
+    """Direct numpy sum with zero past the image — the per-feature bounds
+    discard of similarityLocal (linemod.cpp:1257-1258)."""
+    fx = np.asarray(bank.feat_x)[:, l]
+    fy = np.asarray(bank.feat_y)[:, l]
+    fl = np.asarray(bank.feat_label)[:, l]
+    fv = np.asarray(bank.feat_valid)[:, l]
+    mods = fx.shape[1]
+    # pad generously: window reads start at px0 + rx (rx < span cells)
+    pad = np.pad(planes.astype(np.int64),
+                 ((0, 0), (0, 256), (0, 256)))
+    want = np.zeros((len(slots), 16, 16), np.int64)
+    for ki, ni in enumerate(np.asarray(slots)):
+        for m in range(mods):
+            for fi in range(fx.shape[2]):
+                if not fv[ni, m, fi]:
+                    continue
+                c = ((m * 8 + fl[ni, m, fi]) * t * t
+                     + (fy[ni, m, fi] % t) * t + fx[ni, m, fi] % t)
+                a = max(int(py0[ki]), 0) + fy[ni, m, fi] // t
+                b = max(int(px0[ki]), 0) + fx[ni, m, fi] // t
+                want[ki] += pad[c, a:a + 16, b:b + 16]
+    return want
+
+
+def test_local_scores_right_edge_wd128(rng):
+    """Candidates whose 16-lane window read crosses lane 128 at the
+    level-0 640-wide contract (Wd = 128): in-image columns must keep
+    their true score (the r3 kernel dropped whole rx-buckets there —
+    ADVICE r3)."""
+    t = 5
+    hd, wd = 96, 128
+    mods, f, n = 2, 24, 6
+    span = 8 * t                      # rx up to 8 decimated cells
+    det_cfg = cfg.DetectorConfig(image_width=wd * t, image_height=hd * t)
+    bank = _random_bank(rng, n, 2, mods, f, span, det_cfg.t_at_level)
+    planes = rng.integers(0, 5, (mods * 8 * t * t, hd, wd), np.uint8)
+    tables = detector.build_match_tables(bank, det_cfg,
+                                         grid_hw=[(hd, wd),
+                                                  (hd // 2, wd // 2)])
+    k = 8
+    slots = jnp.asarray(rng.integers(0, n, (k,)))
+    # px0 right at the clamp limit: px0 + rx + 15 crosses lane 128 for
+    # every rx >= 1 while lanes [px0+rx, 128) are real image columns.
+    px0 = jnp.asarray(rng.integers(wd - 16 - 4, wd - 16 + 1, (k,)),
+                      jnp.int32)
+    py0 = jnp.asarray(rng.integers(0, hd - 16 - 8, (k,)), jnp.int32)
+    table_k = {key: tables[0][key][slots] for key in tables[0]}
+    got = np.asarray(score_pallas.local_scores(
+        jnp.asarray(planes), table_k, px0, py0))
+    want = _local_oracle(planes, bank, slots, px0, py0, t)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_local_scores_wide_plane_fallback(rng):
+    """Wd > 128 (e.g. image_width 800 -> level-0 Wd=160) rides the
+    width-agnostic XLA scorer instead of crashing the 128-lane kernel
+    (ADVICE r3)."""
+    t = 5
+    hd, wd = 40, 160
+    mods, f, n = 2, 20, 5
+    span = 6 * t
+    det_cfg = cfg.DetectorConfig(image_width=wd * t, image_height=hd * t)
+    bank = _random_bank(rng, n, 2, mods, f, span, det_cfg.t_at_level)
+    planes = rng.integers(0, 5, (mods * 8 * t * t, hd, wd), np.uint8)
+    tables = detector.build_match_tables(bank, det_cfg,
+                                         grid_hw=[(hd, wd),
+                                                  (hd // 2, wd // 2)])
+    k = 6
+    slots = jnp.asarray(rng.integers(0, n, (k,)))
+    px0 = jnp.asarray(
+        np.concatenate([rng.integers(0, wd - 16 - 6, (k - 2,)),
+                        [wd - 16, wd - 16 - 1]]), jnp.int32)
+    py0 = jnp.asarray(rng.integers(0, hd - 16 - 6, (k,)), jnp.int32)
+    table_k = {key: tables[0][key][slots] for key in tables[0]}
+    got = np.asarray(score_pallas.local_scores(
+        jnp.asarray(planes), table_k, px0, py0))
+    want = _local_oracle(planes, bank, slots, px0, py0, t)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_local_scores_match_direct_sum(rng):
     t = 5
     hd, wd = 32, 48
