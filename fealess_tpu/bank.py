@@ -153,6 +153,63 @@ def pack_bank(classes: Dict[str, List[TemplateView]],
                           for _, _, v in views], default=1)))
 
 
+def class_slot_mask(bank: TemplateBank,
+                    class_ids: Sequence[str]) -> np.ndarray:
+    """(capacity,) bool mask selecting the slots of the given classes —
+    the class_ids restriction of ``Detector::match``
+    (linemod/linemod.hpp:317-325).  Unknown names raise (the reference
+    silently skips them; a typo'd filter matching nothing is a bug)."""
+    unknown = [c for c in class_ids if c not in bank.class_names]
+    if unknown:
+        raise KeyError(f"unknown class_ids {unknown}; "
+                       f"bank has {list(bank.class_names)}")
+    wanted = np.array([bank.class_names.index(c) for c in class_ids],
+                      np.int32)
+    return np.isin(np.asarray(bank.class_idx), wanted)
+
+
+def view_from_features(features: Sequence[Sequence[np.ndarray]],
+                       width: Sequence[int], height: Sequence[int],
+                       offset_x: Sequence[int], offset_y: Sequence[int],
+                       pose: np.ndarray) -> TemplateView:
+    """Build a TemplateView from externally-computed features — the
+    ``addSyntheticTemplate`` entry point (linemod.hpp:349,
+    linemod.cpp:1636-1642): synthetic rendering pipelines that quantize
+    and select features themselves can inject templates without going
+    through :func:`fealess_tpu.training.add_template`.
+
+    ``features[l][m]`` is an (n, 3) int array of post-crop (x, y, label)
+    with 0 <= label < 8; per-level bbox/offset and the 13-float pose
+    follow the bank layout.  Validates ranges so a malformed synthetic
+    template fails here, not as an out-of-range index inside the jitted
+    scorer.
+    """
+    levels = len(features)
+    if not (len(width) == len(height) == len(offset_x) == len(offset_y)
+            == levels):
+        raise ValueError("per-level lists must have equal length")
+    feats = [[np.asarray(fm, np.int32).reshape(-1, 3) for fm in fl]
+             for fl in features]
+    for l, fl in enumerate(feats):
+        for m, fm in enumerate(fl):
+            if len(fm) == 0:
+                continue
+            if (fm[:, 2] < 0).any() or (fm[:, 2] >= 8).any():
+                raise ValueError(f"label out of [0, 8) at level {l} "
+                                 f"modality {m}")
+            if ((fm[:, 0] < 0).any() or (fm[:, 0] > width[l]).any()
+                    or (fm[:, 1] < 0).any() or (fm[:, 1] > height[l]).any()):
+                raise ValueError(f"feature outside bbox at level {l} "
+                                 f"modality {m}")
+    pose = np.asarray(pose, np.float32).reshape(13)
+    return TemplateView(features=feats,
+                        width=[int(w) for w in width],
+                        height=[int(h) for h in height],
+                        offset_x=[int(x) for x in offset_x],
+                        offset_y=[int(y) for y in offset_y],
+                        pose=pose)
+
+
 def unpack_bank(bank: TemplateBank) -> Dict[str, List[TemplateView]]:
     """Inverse of :func:`pack_bank` (for serialization round-trips)."""
     out: Dict[str, List[TemplateView]] = {c: [] for c in bank.class_names}

@@ -204,19 +204,25 @@ build_match_kernels = build_match_tables
 def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                threshold: float, det: cfg.DetectorConfig,
                masks: Optional[List] = None,
-               kernels=None) -> Matches:
+               kernels=None, class_mask=None) -> Matches:
     """Full match over the template bank. All shapes static; jit-safe.
 
     ``kernels`` are the per-level score tables from
     :func:`build_match_tables`; pass precomputed ones to skip the
-    rebuild (they depend only on the bank)."""
+    rebuild (they depend only on the bank).  ``class_mask`` is an
+    optional (capacity,) bool slot mask restricting the search to a
+    subset of the bank — the class_ids filter of ``Detector::match``
+    (linemod/linemod.hpp:317-325); build it from class names with
+    :func:`fealess_tpu.bank.class_slot_mask`."""
     levels = quantized_pyramid(bgr, depth_mm, det, masks)
     planes = response_planes(levels, det)
-    return match_from_planes(bank, planes, threshold, det, kernels)
+    return match_from_planes(bank, planes, threshold, det, kernels,
+                             class_mask=class_mask)
 
 
 def match_from_planes(bank: TemplateBank, planes, threshold: float,
-                      det: cfg.DetectorConfig, kernels=None) -> Matches:
+                      det: cfg.DetectorConfig, kernels=None,
+                      class_mask=None) -> Matches:
     """Score the bank against decimated response planes.
 
     The coarse level computes all-template, all-position scores with the
@@ -261,10 +267,16 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     hf = (bank.height[:, l_coarse] - 1) // t_c + 1
     px_idx = jnp.arange(wd)[None, None, :]
     py_idx = jnp.arange(hd)[None, :, None]
+    slot_ok = bank.valid
+    if class_mask is not None:
+        # class_ids restriction (linemod.hpp:317-325): only masked-in
+        # slots may seed candidates; refinement scores survivors only, so
+        # gating the coarse stage filters the whole match.
+        slot_ok = slot_ok & class_mask
     cand_ok = ((raw_i > raw_thr[:, None, None])
                & (px_idx <= (wd - wf)[:, None, None])
                & (py_idx <= (hd - hf)[:, None, None])
-               & bank.valid[:, None, None])
+               & slot_ok[:, None, None])
     score = (raw_i.astype(jnp.float32) * 100.0
              / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5
@@ -342,9 +354,12 @@ def match_bank_jit(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
 def match_bank_masked_jit(bank: TemplateBank, bgr: jax.Array,
                           depth_mm: jax.Array, roi_mask: jax.Array,
                           threshold: float,
-                          det: cfg.DetectorConfig, kernels=None) -> Matches:
+                          det: cfg.DetectorConfig, kernels=None,
+                          class_mask=None) -> Matches:
     """Match gated by a level-0 ROI mask applied to both modalities (the
     KCF-gated re-detection path of the reference demo,
-    test/linemod_acq.cpp:136-191)."""
+    test/linemod_acq.cpp:136-191), optionally restricted to a class
+    subset (linemod.hpp:317-325)."""
     return match_bank(bank, bgr, depth_mm, threshold, det,
-                      masks=[roi_mask, roi_mask], kernels=kernels)
+                      masks=[roi_mask, roi_mask], kernels=kernels,
+                      class_mask=class_mask)

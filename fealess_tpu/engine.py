@@ -301,50 +301,69 @@ class ObjReco:
         scene_k = gd.intrinsics_matrix(fx, fy, cx, cy)
         return rgb_bgr, depth_u16, scene_k
 
+    def _class_mask(self, class_ids):
+        """class_ids -> device slot mask (Detector::match's class filter,
+        linemod.hpp:317-325), or None for an unrestricted search."""
+        if class_ids is None:
+            return None
+        from fealess_tpu.bank import class_slot_mask
+        return jnp.asarray(class_slot_mask(self.bank, class_ids))
+
     def recognition_multi(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
                           cam: CamIntrinsics,
-                          max_objects: Optional[int] = None
+                          max_objects: Optional[int] = None,
+                          class_ids: Optional[List[str]] = None
                           ) -> List[RecoResult]:
         """Multi-object Recognition: refine the top-M match candidates in
         parallel on device and 3D-NMS the refined poses (the multi-object
         design of ICP/NMS.cpp:6-40; the reference engine itself only
-        returns top-1, obj_reco_lmicp.cpp:111)."""
+        returns top-1, obj_reco_lmicp.cpp:111).  ``class_ids`` restricts
+        the search to those classes (linemod.hpp:317-325)."""
         if self.bank is None:
             raise RuntimeError("add_obj not called")
+        import jax
+
         m = max_objects or self.cfg.max_objects
         rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
                                                           depth_u16, cam)
+        # Same serving-path treatment as the top-1 path: the model-depth
+        # stack and crop origins are the device-resident copies uploaded
+        # once at add_obj (not per frame — at 1024 templates the stack is
+        # ~134 MB), the step is one fused device program, and the result
+        # is fetched with ONE bulk device_get.
         step = pipeline.recognize_multi_jit(
-            self.bank, jnp.asarray(self._model_depth),
-            jnp.asarray(self._origins_array()), jnp.asarray(rgb_bgr),
-            jnp.asarray(depth_u16), scene_k, self.cfg, m,
-            kernels=self._kernels)
-        keep = np.asarray(step.valid)
+            self.bank, self._model_depth_dev, self._origins_dev,
+            jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
+            self.cfg, m, kernels=self._kernels,
+            class_mask=self._class_mask(class_ids))
+        host = jax.device_get(step)
         widths = np.asarray(self.bank.width)[:, 0]
         heights = np.asarray(self.bank.height)[:, 0]
         results: List[RecoResult] = []
-        for i in np.nonzero(keep)[0]:
-            slot = int(np.asarray(step.template_slot)[i])
+        for i in np.nonzero(host.valid)[0]:
+            slot = int(host.template_slot[i])
             results.append(RecoResult(
-                obj_tag=self.bank.class_names[int(np.asarray(
-                    step.class_idx)[i])],
-                world2cam=np.asarray(step.poses[i]),
-                similarity=float(np.asarray(step.similarity)[i]),
-                icp_dist=float(np.asarray(step.icp_dist)[i]),
-                inlier_ratio=float(np.asarray(step.inlier_ratio)[i]),
-                match_rect=(float(np.asarray(step.match_x)[i]),
-                            float(np.asarray(step.match_y)[i]),
+                obj_tag=self.bank.class_names[int(host.class_idx[i])],
+                world2cam=np.asarray(host.poses[i]),
+                similarity=float(host.similarity[i]),
+                icp_dist=float(host.icp_dist[i]),
+                inlier_ratio=float(host.inlier_ratio[i]),
+                match_rect=(float(host.match_x[i]),
+                            float(host.match_y[i]),
                             float(widths[slot]), float(heights[slot]))))
         return results
 
     def recognition(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
                     cam: CamIntrinsics,
-                    roi_mask: Optional[np.ndarray] = None
+                    roi_mask: Optional[np.ndarray] = None,
+                    class_ids: Optional[List[str]] = None
                     ) -> List[RecoResult]:
         """Full Recognition (obj_reco_lmicp.cpp:86-204): resize to the
         processing width, match, take the top match, ICP-refine its pose.
         ``roi_mask`` (processing resolution) gates matching to a region —
-        the tracker-gated path (linemod_acq.cpp:136-191).
+        the tracker-gated path (linemod_acq.cpp:136-191); ``class_ids``
+        restricts the search to those classes (linemod.hpp:317-325, e.g.
+        re-detecting one known class inside a tracked ROI).
 
         The unmasked path is the FUSED device step
         (pipeline.recognize_top1): match + top-1 select + refine compile
@@ -363,7 +382,8 @@ class ObjReco:
             step = pipeline.recognize_top1_jit(
                 self.bank, self._model_depth_dev, self._origins_dev,
                 jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
-                self.cfg, kernels=self._kernels)
+                self.cfg, kernels=self._kernels,
+                class_mask=self._class_mask(class_ids))
             host = jax.device_get(step)          # one bulk fetch
             if not bool(host.valid):
                 return []
@@ -382,7 +402,7 @@ class ObjReco:
             self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
             jnp.asarray(roi_mask.astype(bool)),
             float(self.cfg.matching_threshold), d,
-            kernels=self._kernels)
+            kernels=self._kernels, class_mask=self._class_mask(class_ids))
         valid = np.asarray(matches.valid)
         if not valid.any():
             return []

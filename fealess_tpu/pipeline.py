@@ -145,18 +145,20 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
 @functools.partial(jax.jit, static_argnames=("engine", "max_objects"))
 def recognize_multi_jit(bank, model_depth_stack, depth_origins, bgr,
                         scene_depth_u16, scene_k, engine: cfg.EngineConfig,
-                        max_objects: int, kernels=None) -> "MultiRecoStep":
+                        max_objects: int, kernels=None,
+                        class_mask=None) -> "MultiRecoStep":
     return recognize_multi(bank, model_depth_stack, depth_origins, bgr,
                            scene_depth_u16, scene_k, engine, max_objects,
-                           kernels)
+                           kernels, class_mask=class_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))
 def recognize_top1_jit(bank, model_depth_stack, depth_origins, bgr,
                        scene_depth_u16, scene_k, engine: cfg.EngineConfig,
-                       kernels=None) -> "RecoStep":
+                       kernels=None, class_mask=None) -> "RecoStep":
     return recognize_top1(bank, model_depth_stack, depth_origins, bgr,
-                          scene_depth_u16, scene_k, engine, kernels)
+                          scene_depth_u16, scene_k, engine, kernels,
+                          class_mask=class_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
@@ -219,7 +221,8 @@ def _refine_candidate(bank, model_depth_stack, depth_origins,
 def recognize_top1(bank, model_depth_stack: jax.Array,
                    depth_origins: jax.Array, bgr: jax.Array,
                    scene_depth_u16: jax.Array, scene_k: jax.Array,
-                   engine: cfg.EngineConfig, kernels=None) -> RecoStep:
+                   engine: cfg.EngineConfig, kernels=None,
+                   class_mask=None) -> RecoStep:
     """The full Recognition step as ONE jittable function: match the whole
     bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
     gather its model depth/pose and ICP-refine — no host round trip
@@ -240,7 +243,7 @@ def recognize_top1(bank, model_depth_stack: jax.Array,
     crop = model_depth_stack.shape[-1]
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
                                  engine.matching_threshold, d,
-                                 kernels=kernels)
+                                 kernels=kernels, class_mask=class_mask)
     # Matches are sorted (similarity desc, template asc); slot 0 is the
     # best candidate and `valid[0]` says whether any survived.
     slot = matches.template_slot[0]
@@ -276,7 +279,8 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
                     depth_origins: jax.Array, bgr: jax.Array,
                     scene_depth_u16: jax.Array, scene_k: jax.Array,
                     engine: cfg.EngineConfig,
-                    max_objects: int, kernels=None) -> MultiRecoStep:
+                    max_objects: int, kernels=None,
+                    class_mask=None) -> MultiRecoStep:
     """Multi-object Recognition: match the bank, ICP-refine the top-M
     candidates in parallel (vmap — the reference refines top-1 only,
     obj_reco_lmicp.cpp:111; its detection()+NMS path ICP/NMS.cpp:6-40 is
@@ -289,7 +293,7 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
     crop = model_depth_stack.shape[-1]
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
                                  engine.matching_threshold, d,
-                                 kernels=kernels)
+                                 kernels=kernels, class_mask=class_mask)
     m = max_objects
     slots = matches.template_slot[:m]
     mxs = matches.x[:m]

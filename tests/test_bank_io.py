@@ -58,3 +58,58 @@ def test_yaml_roundtrip(rng, tmp_path):
 def test_capacity_overflow(rng):
     with pytest.raises(ValueError):
         pack_bank({"a": [_view(rng), _view(rng)]}, levels=2, capacity=1)
+
+
+def test_view_from_features_synthetic_template(rng, tmp_path):
+    """addSyntheticTemplate equivalent (linemod.hpp:349): a hand-built
+    TemplateView from external features validates, YAML round-trips, and
+    self-matches when its features describe a real scene."""
+    from fealess_tpu import detector, training
+    from fealess_tpu.bank import view_from_features
+    from tests.test_match_e2e import make_scene, H, W
+    import jax.numpy as jnp
+
+    det_cfg = cfg.DetectorConfig(image_width=W, image_height=H,
+                                 max_candidates=16)
+    bgr, depth, mask = make_scene(np.random.default_rng(7))
+    trained = training.add_template(bgr, depth, mask,
+                                    np.arange(13, dtype=np.float32), det_cfg)
+    # Rebuild the trained view through the synthetic entry point from its
+    # raw feature arrays (as an external rendering pipeline would).
+    synth = view_from_features(
+        [[np.asarray(fm) for fm in fl] for fl in trained.features],
+        trained.width, trained.height, trained.offset_x, trained.offset_y,
+        trained.pose)
+
+    path = str(tmp_path / "linemod_templates.yml")
+    linemod_yaml.save_linemod(path, det_cfg, {"synth": [synth]})
+    _, loaded = linemod_yaml.load_linemod(path)
+    for l in range(2):
+        for m in range(2):
+            np.testing.assert_array_equal(loaded["synth"][0].features[l][m],
+                                          synth.features[l][m])
+
+    bank = pack_bank({"synth": [synth]}, levels=det_cfg.pyramid_levels)
+    m = detector.match_bank(bank, jnp.asarray(bgr), jnp.asarray(depth),
+                            75.0, det_cfg)
+    assert np.asarray(m.valid).any()
+    assert np.asarray(m.similarity)[0] >= 95.0
+
+
+def test_view_from_features_validates(rng):
+    from fealess_tpu.bank import view_from_features
+
+    good = [[np.array([[1, 2, 3]], np.int32)] * 2] * 2
+    view_from_features(good, [38, 19], [30, 15], [0, 0], [0, 0],
+                       np.zeros(13))
+    bad_label = [[np.array([[1, 2, 9]], np.int32)] * 2] * 2
+    with pytest.raises(ValueError):
+        view_from_features(bad_label, [38, 19], [30, 15], [0, 0], [0, 0],
+                           np.zeros(13))
+    bad_coord = [[np.array([[45, 2, 3]], np.int32)] * 2] * 2
+    with pytest.raises(ValueError):
+        view_from_features(bad_coord, [38, 19], [30, 15], [0, 0], [0, 0],
+                           np.zeros(13))
+    with pytest.raises(ValueError):
+        view_from_features(good, [38], [30, 15], [0, 0], [0, 0],
+                           np.zeros(13))

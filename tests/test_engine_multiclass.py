@@ -98,6 +98,34 @@ def test_two_class_recognition_correct_pose(two_class_dir):
                                                            r.world2cam)
 
 
+def test_class_filtered_recognition(two_class_dir):
+    """class_ids restricts the search (Detector::match's class filter,
+    linemod.hpp:317-325): on class a's frame, filtering to b must find
+    nothing, filtering to a must equal the unfiltered result."""
+    path, scenes = two_class_dir
+    eng = _engine(path)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    bgr, depth, _ = scenes["a"]
+
+    unfiltered = eng.recognition(bgr, depth, cam)
+    assert unfiltered and unfiltered[0].obj_tag == "a"
+
+    only_b = eng.recognition(bgr, depth, cam, class_ids=["b"])
+    assert all(r.obj_tag == "b" for r in only_b)
+    assert not only_b, [r.similarity for r in only_b]
+
+    only_a = eng.recognition(bgr, depth, cam, class_ids=["a"])
+    assert only_a and only_a[0].obj_tag == "a"
+    np.testing.assert_allclose(only_a[0].world2cam,
+                               unfiltered[0].world2cam, atol=1e-5)
+
+    multi_b = eng.recognition_multi(bgr, depth, cam, class_ids=["b"])
+    assert all(r.obj_tag == "b" for r in multi_b)
+
+    with pytest.raises(KeyError):
+        eng.recognition(bgr, depth, cam, class_ids=["typo"])
+
+
 def test_multiclass_missing_depth_errors(two_class_dir, tmp_path):
     """A multi-class dir without per-class depth pngs must fail add_obj
     loudly instead of refining against empty clouds."""
