@@ -139,6 +139,17 @@ class KcfTracker:
         tracker = KcfTracker(kcf_reference_config())
         state = tracker.init((x, y, w, h), image_bgr_u8)
         state, roi = tracker.update(state, next_image)
+
+    Re-init contract: ``init`` bakes the patch geometry, Hann window and
+    Gaussian peak for the GIVEN ROI size (the reference bakes the same
+    members once in KCFTracker::init, kcftracker.cpp:92-170, and is
+    likewise one-object-per-instance).  ``update`` then tracks through
+    the KCF scale pyramid.  To track a *different* object, or after an
+    externally-imposed ROI whose aspect/size differs materially from the
+    init ROI, call ``init`` again (fresh geometry + state) — reusing
+    ``update`` across objects silently correlates against the old
+    template geometry.  ``fealess_tpu.apps.track.TrackedRecognizer``
+    follows this contract.
     """
 
     def __init__(self, cfg: KcfConfig | None = None):
