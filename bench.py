@@ -213,6 +213,43 @@ def _bench_tracked(lines, eng, bgr_np, depth, scene_k):
     })
 
 
+def _bench_multi(lines, eng, bgr, depth, scene_k):
+    """Multi-object config: full-bank match at 1024t, top-4 candidate
+    ICP refine (vmap) + 3D NMS per frame, chained on device
+    (pipeline.recognize_multi — the detection()+NMS design of
+    ICP/NMS.cpp:6-40).  Baseline composition: the reference would run
+    its single-candidate Recognition once per candidate (it has no
+    multi-object path), so 4 candidates cost 4x the 1024t frame time."""
+    import jax
+    import jax.numpy as jnp
+
+    from fealess_tpu import pipeline
+
+    ecfg = eng.cfg
+    m_obj = 4
+
+    @jax.jit
+    def chain(b, steps, bank, md, org, kern, d, k):
+        def body(i, bb):
+            step = pipeline.recognize_multi(
+                bank, md, org, bb, d, k, ecfg, m_obj, kernels=kern)
+            return bb + ((step.poses.sum() + step.similarity.sum()
+                          + step.icp_dist.sum())
+                         < -1e30).astype(jnp.uint8)
+        return jax.lax.fori_loop(0, steps, body, b)
+
+    args = (eng.bank, eng._model_depth_dev, eng._origins_dev,
+            eng._kernels, depth, scene_k)
+    fps = _chain_fps(lambda b, n: chain(b, n, *args), bgr)
+    base = BASELINE_FPS[1024] / m_obj
+    lines.append({
+        "metric": f"multi_object_recognition_fps_640x480_1024t_top{m_obj}_nms",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / base, 2),
+    })
+
+
 def main():
     import cv2
     import jax
@@ -261,6 +298,7 @@ def main():
     lines = _EmitList()
     _bench_series_recon(lines)                       # config 2
     _bench_tracked(lines, eng, bgr_np, depth, scene_k)   # config 3
+    _bench_multi(lines, eng, bgr, depth, scene_k)    # multi-object serve
     for n in (128, 1024):                            # config 1 (+4's point)
         bank, model_depth, origins = _slice_bank(
             eng.bank, full_model_depth, full_origins, n)

@@ -1,0 +1,356 @@
+"""On-chip verification of the Pallas TPU kernels and the full serve path.
+
+Every bit-exactness claim about the score kernels (ops/score_pallas) and
+the NN kernel (ops/nn_pallas) is proven on CPU against numpy oracles and
+the compiled reference — but the Pallas code paths themselves only run on
+the real TPU.  This harness closes that gap (VERDICT r3 #1): it asserts,
+ON THE CHIP, that
+
+1. the coarse whole-image scorer's TPU kernel output equals the CPU
+   golden EXACTLY (integer scores) on the real fixture frame + fixture
+   bank (the SSE loop it replaces: linemod/linemod.cpp:1130-1214);
+2. the local 16x16 refinement kernel equals the CPU golden EXACTLY for
+   match-derived AND adversarially-placed window origins (right-edge
+   lanes included; linemod.cpp:1226-1300);
+3. the decimated response planes computed on chip equal the CPU planes
+   EXACTLY (the integer front-end: linemod.cpp:882-1117);
+4. the brute-force NN Pallas kernel agrees with the XLA blocked twin on
+   a refine-sized cloud pair (indices equal up to exact-distance ties;
+   replaces FLANN, ICP/ICP.cpp:649-659);
+5. end-to-end `ObjReco.recognition` poses on chip match the CPU-path
+   poses over the rendered test sequence (match fields exactly; pose
+   within tight float tolerances — ICP runs SVD/matmuls in f32).
+
+Usage:
+  python benchmarks/tpu_parity.py            # golden (CPU subprocess) + chip
+  python benchmarks/tpu_parity.py golden     # write tpu_parity_golden.npz
+  python benchmarks/tpu_parity.py chip [out.json]
+
+The two phases run in separate processes (the axon sitecustomize pins the
+default backend at interpreter start; also two live JAX processes would
+serialize on the TPU tunnel).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+FIXTURE = os.path.join(HERE, "reference", "out")
+SEQ = os.path.join(HERE, "reference", "seq")
+GOLDEN = os.path.join(HERE, "tpu_parity_golden.npz")
+N_FRAMES = 8
+N_LOCAL = 128          # local-scorer candidates checked
+
+
+def _ensure_seq():
+    if not os.path.exists(os.path.join(SEQ, "frames", "gt_poses.npy")):
+        subprocess.run([sys.executable,
+                        os.path.join(HERE, "reference", "make_sequence.py")],
+                       check=True, capture_output=True, text=True)
+
+
+def _fixture_engine():
+    from fealess_tpu.engine import ObjReco
+
+    eng = ObjReco.create("LmICP")
+    eng.add_obj(os.path.join(FIXTURE, "features"))
+    return eng
+
+
+def _fixture_frame():
+    import cv2
+
+    bgr = cv2.imread(os.path.join(FIXTURE, "scene_bgr.png"))
+    depth = cv2.imread(os.path.join(FIXTURE, "scene_depth.png"),
+                       cv2.IMREAD_UNCHANGED)
+    return bgr, depth
+
+
+def _planes_for(eng, bgr, depth):
+    """Per-level decimated response planes for the fixture frame."""
+    import jax.numpy as jnp
+    from fealess_tpu import detector as det_mod
+
+    det = eng.cfg.detector
+    levels = det_mod.quantized_pyramid(jnp.asarray(bgr), jnp.asarray(depth),
+                                       det)
+    return det_mod.response_planes(levels, det)
+
+
+def _local_candidates(rng, coarse_scores, bank_valid, hd0, wd0, t_c, t0,
+                      n_slots):
+    """(slot, px0, py0) level-0 window origins: half from the top coarse
+    responses (mapped with the detector's clamp arithmetic), half random
+    including deliberate right-edge lanes."""
+    n, hd, wd = coarse_scores.shape
+    flat = np.where(bank_valid[:, None, None],
+                    coarse_scores, -1).reshape(-1)
+    top = np.argsort(flat)[::-1][:N_LOCAL // 2]
+    slots = (top // (hd * wd)).astype(np.int32)
+    py = ((top % (hd * wd)) // wd).astype(np.int32)
+    px = (top % wd).astype(np.int32)
+    # coarse cell -> level-0 pixel -> window origin (linemod.cpp:1515-1534
+    # arithmetic as in detector.match_from_planes)
+    off_c = t_c // 2 + (t_c % 2 - 1)
+    x0 = (px * t_c + off_c) * 2 + 1
+    y0 = (py * t_c + off_c) * 2 + 1
+    px0 = np.clip(x0 // t0 - 8, 0, wd0 - 16)
+    py0 = np.clip(y0 // t0 - 8, 0, hd0 - 16)
+
+    m = N_LOCAL - len(slots)
+    r_slots = rng.integers(0, n_slots, m).astype(np.int32)
+    # bias half of the random origins to the right edge (the regression
+    # region of the r3 per-bucket clamp bug)
+    r_px0 = np.concatenate([
+        rng.integers(0, wd0 - 16 + 1, m // 2),
+        rng.integers(max(wd0 - 24, 0), wd0 - 16 + 1, m - m // 2),
+    ]).astype(np.int32)
+    r_py0 = rng.integers(0, hd0 - 16 + 1, m).astype(np.int32)
+    return (np.concatenate([slots, r_slots]),
+            np.concatenate([px0, r_px0]),
+            np.concatenate([py0, r_py0]))
+
+
+def _refine_clouds(eng, depth):
+    """A realistic refine-sized (query, ref) cloud pair: the top match's
+    model-depth crop vs the scene crop, back-projected like refine_match."""
+    import jax.numpy as jnp
+    from fealess_tpu import pipeline
+
+    crop = eng.cfg.refine_crop
+    k = jnp.asarray([[608.0, 0, 320], [0, 608.0, 240], [0, 0, 1]],
+                    jnp.float32)
+    model = np.asarray(pipeline._crop_points_mm(
+        jnp.asarray(eng._model_depth[0]), k, 0, 0, crop, crop)).reshape(-1, 3)
+    scene = np.asarray(pipeline._crop_points_mm(
+        jnp.asarray(depth), k, 100, 60, crop, crop)).reshape(-1, 3)
+    pad = 1.0e6
+    model = np.where(np.isfinite(model), model, pad).astype(np.float32)
+    scene = np.where(np.isfinite(scene), scene, pad).astype(np.float32)
+    return model[:4096], scene[:4096]
+
+
+def _seq_results():
+    """Per-frame engine results over the rendered sequence."""
+    import cv2
+    from fealess_tpu.engine import CamIntrinsics, ObjReco
+
+    eng = ObjReco.create("LmICP")
+    eng.add_obj(os.path.join(SEQ, "features"))
+    fx, fy, cx, cy = np.loadtxt(os.path.join(SEQ, "cam.txt"))
+    cam = CamIntrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=640, height=480)
+    out = {"x": [], "y": [], "sim": [], "pose": []}
+    for i in range(N_FRAMES):
+        bgr = cv2.imread(os.path.join(SEQ, "frames", f"color_{i:03d}.png"))
+        dep = cv2.imread(os.path.join(SEQ, "frames", f"depth_{i:03d}.png"),
+                         cv2.IMREAD_UNCHANGED)
+        res = eng.recognition(bgr, dep, cam)
+        assert res, f"no detection on frame {i}"
+        r = res[0]
+        out["x"].append(r.match_rect[0])
+        out["y"].append(r.match_rect[1])
+        out["sim"].append(r.similarity)
+        out["pose"].append(r.world2cam)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def run_golden():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu.ops import nn_pallas, score_pallas
+
+    _ensure_seq()
+    rng = np.random.default_rng(42)
+    eng = _fixture_engine()
+    bgr, depth = _fixture_frame()
+    det = eng.cfg.detector
+    planes = _planes_for(eng, bgr, depth)
+    l_c = det.pyramid_levels - 1
+    t_c, t0 = det.t_at_level[l_c], det.t_at_level[0]
+    d_c = planes[l_c][0]
+    d_0 = planes[0][0]
+    tables = eng._kernels
+
+    coarse = np.asarray(score_pallas.coarse_scores(d_c, tables[l_c]))
+    hd0, wd0 = d_0.shape[1], d_0.shape[2]
+    slots, px0, py0 = _local_candidates(
+        rng, coarse, np.asarray(eng.bank.valid), hd0, wd0, t_c, t0,
+        eng.bank.capacity)
+    table_k = {key: np.asarray(tables[0][key])[slots] for key in tables[0]}
+    local = np.asarray(score_pallas.local_scores(
+        d_0, {k: jnp.asarray(v) for k, v in table_k.items()},
+        jnp.asarray(px0), jnp.asarray(py0)))
+
+    q, r = _refine_clouds(eng, depth)
+    nn_idx, nn_d2 = (np.asarray(v) for v in nn_pallas._nn_xla_blocked(
+        jnp.asarray(q), jnp.asarray(r)))
+
+    seq = _seq_results()
+
+    np.savez_compressed(
+        GOLDEN,
+        d_coarse=np.asarray(d_c), d_level0=np.asarray(d_0),
+        coarse_golden=coarse,
+        coarse_c=np.asarray(tables[l_c]["c"]),
+        coarse_ry=np.asarray(tables[l_c]["ry"]),
+        coarse_rx=np.asarray(tables[l_c]["rx"]),
+        coarse_bstart=np.asarray(tables[l_c]["bstart"]),
+        local_c=table_k["c"], local_ry=table_k["ry"],
+        local_rx=table_k["rx"], local_bstart=table_k["bstart"],
+        local_px0=px0, local_py0=py0, local_golden=local,
+        nn_q=q, nn_r=r, nn_idx=nn_idx, nn_d2=nn_d2,
+        seq_x=seq["x"], seq_y=seq["y"], seq_sim=seq["sim"],
+        seq_pose=seq["pose"])
+    print(f"golden written: {GOLDEN}")
+
+
+def run_chip(out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from fealess_tpu.ops import nn_pallas, score_pallas
+
+    assert jax.default_backend() != "cpu", (
+        "chip phase must run on the TPU backend")
+    g = np.load(GOLDEN)
+    report = {"backend": jax.default_backend(), "checks": {}}
+    ok_all = True
+
+    def check(name, ok, detail):
+        nonlocal ok_all
+        ok_all &= bool(ok)
+        report["checks"][name] = {"ok": bool(ok), **detail}
+        print(f"  {name}: {'OK' if ok else 'FAIL'} {detail}", flush=True)
+
+    # 1+3. front-end planes parity (integer front-end must be bit-equal)
+    eng = _fixture_engine()
+    bgr, depth = _fixture_frame()
+    planes = _planes_for(eng, bgr, depth)
+    det = eng.cfg.detector
+    l_c = det.pyramid_levels - 1
+    d_c_tpu = np.asarray(planes[l_c][0])
+    d_0_tpu = np.asarray(planes[0][0])
+    check("frontend_planes_exact",
+          np.array_equal(d_c_tpu, g["d_coarse"])
+          and np.array_equal(d_0_tpu, g["d_level0"]),
+          {"coarse_diff": int(np.sum(d_c_tpu != g["d_coarse"])),
+           "level0_diff": int(np.sum(d_0_tpu != g["d_level0"]))})
+
+    # 1. coarse Pallas kernel vs CPU golden — exact integer equality
+    tab_c = {"c": jnp.asarray(g["coarse_c"]),
+             "ry": jnp.asarray(g["coarse_ry"]),
+             "rx": jnp.asarray(g["coarse_rx"]),
+             "bstart": jnp.asarray(g["coarse_bstart"])}
+    coarse_tpu = np.asarray(score_pallas._coarse_scores_tpu(
+        jnp.asarray(g["d_coarse"]), tab_c))
+    check("coarse_kernel_exact",
+          np.array_equal(coarse_tpu, g["coarse_golden"]),
+          {"mismatches": int(np.sum(coarse_tpu != g["coarse_golden"])),
+           "shape": list(coarse_tpu.shape)})
+
+    # 2. local Pallas kernel vs CPU golden — exact integer equality
+    tab_l = {"c": jnp.asarray(g["local_c"]),
+             "ry": jnp.asarray(g["local_ry"]),
+             "rx": jnp.asarray(g["local_rx"]),
+             "bstart": jnp.asarray(g["local_bstart"])}
+    local_tpu = np.asarray(score_pallas._local_scores_tpu(
+        jnp.asarray(g["d_level0"]), tab_l,
+        jnp.asarray(g["local_px0"]), jnp.asarray(g["local_py0"])))
+    check("local_kernel_exact",
+          np.array_equal(local_tpu, g["local_golden"]),
+          {"mismatches": int(np.sum(local_tpu != g["local_golden"])),
+           "candidates": int(local_tpu.shape[0]),
+           "right_edge_candidates":
+               int(np.sum(g["local_px0"] >= g["d_level0"].shape[2] - 24))})
+
+    # 4. NN kernel vs XLA twin golden (ties resolved by equal distance)
+    idx_tpu, d2_tpu = (np.asarray(v) for v in
+                       nn_pallas.nearest_neighbor_tiled(
+                           jnp.asarray(g["nn_q"]), jnp.asarray(g["nn_r"])))
+    idx_same = idx_tpu == g["nn_idx"]
+    # a differing index is acceptable only if its distance ties exactly
+    tie_ok = np.abs(d2_tpu - g["nn_d2"]) <= 1e-3 * np.maximum(g["nn_d2"], 1)
+    check("nn_kernel",
+          np.all(idx_same | tie_ok),
+          {"idx_equal": int(idx_same.sum()), "n": int(idx_same.size),
+           "max_d2_rel_err": float(np.max(
+               np.abs(d2_tpu - g["nn_d2"]) / np.maximum(g["nn_d2"], 1)))})
+
+    # 5. end-to-end poses over the sequence.  The match must agree
+    # EXACTLY (integer scores -> same candidate, same pixel); the refined
+    # pose runs 10 data-dependent ICP iterations in f32 whose
+    # correspondence sets can flip on last-ulp distance ties, so the
+    # pose criterion is ACCURACY parity: per-frame ADD against ground
+    # truth (the metric of BASELINE.json) must match the CPU path's ADD
+    # closely and pass the same tau.
+    _ensure_seq()
+    seq = _seq_results()
+    match_exact = (np.array_equal(seq["x"], g["seq_x"])
+                   and np.array_equal(seq["y"], g["seq_y"]))
+    sim_err = float(np.max(np.abs(seq["sim"] - g["seq_sim"])))
+    gts = np.load(os.path.join(SEQ, "frames", "gt_poses.npy"))
+    pts = np.load(os.path.join(SEQ, "model_points.npy"))
+    tau = 0.1 * float(np.linalg.norm(pts.max(0) - pts.min(0)))
+
+    def add_err(pose, gt):
+        a = pts @ pose[:3, :3].T + pose[:3, 3]
+        b = pts @ gt[:3, :3].T + gt[:3, 3]
+        return float(np.linalg.norm(a - b, axis=1).mean())
+
+    rot_deg, trans_mm, add_tpu, add_cpu = [], [], [], []
+    for i, (p_t, p_c) in enumerate(zip(seq["pose"], g["seq_pose"])):
+        r_rel = p_t[:3, :3] @ p_c[:3, :3].T
+        cosang = np.clip((np.trace(r_rel) - 1) / 2, -1, 1)
+        rot_deg.append(float(np.degrees(np.arccos(cosang))))
+        trans_mm.append(float(np.linalg.norm(p_t[:3, 3] - p_c[:3, 3])))
+        add_tpu.append(add_err(p_t, gts[i]))
+        add_cpu.append(add_err(p_c, gts[i]))
+    add_delta = float(np.max(np.abs(np.asarray(add_tpu)
+                                    - np.asarray(add_cpu))))
+    check("e2e_sequence",
+          match_exact and sim_err <= 1e-3
+          and max(add_tpu) < tau and max(add_cpu) < tau
+          and add_delta <= 0.1 * tau,
+          {"frames": N_FRAMES, "match_xy_exact": bool(match_exact),
+           "max_sim_err": sim_err, "tau_mm": tau,
+           "add_mm_tpu": [round(v, 3) for v in add_tpu],
+           "add_mm_cpu": [round(v, 3) for v in add_cpu],
+           "max_add_delta_mm": add_delta,
+           "rot_deg_vs_cpu": [round(v, 4) for v in rot_deg],
+           "trans_mm_vs_cpu": [round(v, 4) for v in trans_mm]})
+
+    report["ok"] = bool(ok_all)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"tpu_parity_ok": report["ok"],
+                      "out": out_path}), flush=True)
+    return 0 if ok_all else 1
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "golden":
+        run_golden()
+        return 0
+    if mode == "chip":
+        out = sys.argv[2] if len(sys.argv) > 2 else \
+            os.path.join(ROOT, "TPUPARITY_r04.json")
+        return run_chip(out)
+    # all: golden in a CPU subprocess, then chip in-process
+    subprocess.run([sys.executable, __file__, "golden"], check=True)
+    return run_chip(sys.argv[2] if len(sys.argv) > 2 else
+                    os.path.join(ROOT, "TPUPARITY_r04.json"))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
