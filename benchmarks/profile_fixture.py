@@ -129,9 +129,64 @@ def coarse(i, b, ops):
     return dep(b, raw)
 
 
-def fullmatch_minus_coarse(i, b, ops):
-    # everything except coarse scoring: reuse match but on a tiny bank?
-    return b
+def coarse_real(i, b, ops):
+    """frontend + coarse Pallas scorer on the real planes (subtract the
+    frontend stage to get the scorer's own cost)."""
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    l = det_cfg.pyramid_levels - 1
+    raw = score_pallas.coarse_scores(planes[l][0], ops["tables"][l])
+    return dep(b, raw)
+
+
+def topk_stage(i, b, ops):
+    """frontend + coarse + threshold/mask + lax.top_k (match_from_planes
+    up to candidate selection; subtract coarse_real for the top-k cost)."""
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    bank_l = ops["bank"]
+    det = det_cfg
+    l_coarse = det.pyramid_levels - 1
+    t_c = det.t_at_level[l_coarse]
+    d_c, (h_c, w_c) = planes[l_coarse]
+    hd, wd = h_c // t_c, w_c // t_c
+    raw_i = score_pallas.coarse_scores(d_c, ops["tables"][l_coarse])
+    nf_c = bank_l.num_features()[:, l_coarse]
+    raw_thr = (2 * nf_c + 0.75 * (2 * nf_c) + 0.5).astype(jnp.int32)
+    wf = (bank_l.width[:, l_coarse] - 1) // t_c + 1
+    hf = (bank_l.height[:, l_coarse] - 1) // t_c + 1
+    px_idx = jnp.arange(wd)[None, None, :]
+    py_idx = jnp.arange(hd)[None, :, None]
+    cand_ok = ((raw_i > raw_thr[:, None, None])
+               & (px_idx <= (wd - wf)[:, None, None])
+               & (py_idx <= (hd - hf)[:, None, None])
+               & bank_l.valid[:, None, None])
+    score = (raw_i.astype(jnp.float32) * 100.0
+             / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
+    flat = jnp.where(cand_ok, score + 0.5, -jnp.inf).reshape(-1)
+    # two-level exact top-k, as shipped in detector.match_from_planes
+    k = det.max_candidates
+    p = hd * wd
+    s2, i2 = jax.lax.top_k(flat.reshape(-1, p), min(k, p))
+    gidx = (jnp.arange(s2.shape[0], dtype=jnp.int32)[:, None] * p
+            + i2.astype(jnp.int32))
+    top_scores, im = jax.lax.top_k(s2.reshape(-1), k)
+    top_idx = gidx.reshape(-1)[im]
+    return dep(b, top_scores) + dep(b, top_idx.astype(jnp.float32))
+
+
+def planes_l0(i, b, ops):
+    """quant + level-0 planes only."""
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    return dep(b, planes[0][0])
+
+
+def planes_l1(i, b, ops):
+    """quant + coarse-level planes only."""
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    return dep(b, planes[det_cfg.pyramid_levels - 1][0])
 
 
 STAGES = [
@@ -143,6 +198,10 @@ STAGES = [
     ("blur+sobel L0", blur_sobel),
     ("normals L0 only", normals),
     ("coarse scorer (+sm front)", coarse),
+    ("coarse_real(front+coarse)", coarse_real),
+    ("topk(front+coarse+topk)", topk_stage),
+    ("planes_l0(quant+L0planes)", planes_l0),
+    ("planes_l1(quant+L1planes)", planes_l1),
 ]
 
 print(f"n_templates={N}")

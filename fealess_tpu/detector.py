@@ -281,7 +281,21 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
              / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5
     flat = jnp.where(cand_ok, score, -jnp.inf).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    # Exact global top-K via per-template top-K + merge: one flat top_k
+    # over N*P elements costs ~4x more on TPU than the batched row form
+    # (1.93 vs 0.47 ms at 1024x1200, measured — benchmarks/kernel_lab).
+    # Tie order (score desc, flat index asc) is preserved: per-row top_k
+    # ties by column, and the merged (row, rank) order IS flat-index
+    # order for equal scores.
+    kk = min(k, p)
+    if n * kk >= k and p > 1:
+        s2, i2 = jax.lax.top_k(flat.reshape(n, p), kk)
+        gidx = (jnp.arange(n, dtype=jnp.int32)[:, None] * p
+                + i2.astype(jnp.int32))
+        top_scores, im = jax.lax.top_k(s2.reshape(-1), k)
+        top_idx = gidx.reshape(-1)[im]
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat, k)
     tslot = top_idx // p
     pidx = top_idx % p
     off_c = _offset(t_c)
@@ -314,7 +328,16 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
         px0 = x // t - 8
         py0 = y // t - 8
         table_l = kernels[l]
-        table_k = {key: table_l[key][tslot] for key in table_l}
+        # Slot-gather the candidates' table rows via a one-hot matmul:
+        # XLA fancy-index gathers lower to scalar loops on TPU (0.33 ms
+        # for 4x(64,126) rows, measured) while the MXU one-hot form is
+        # free and exact for i32 values < 2^24 under HIGHEST precision
+        # (table entries are channel/offset indices < 2^16).
+        oh = jax.nn.one_hot(tslot, n, dtype=jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        table_k = {key: jnp.round(jnp.matmul(
+            oh, table_l[key].astype(jnp.float32),
+            precision=hi)).astype(jnp.int32) for key in table_l}
         total_i = score_pallas.local_scores(d_l, table_k, px0, py0)
         total = total_i.reshape(k, win * win).astype(jnp.float32)
 

@@ -182,16 +182,34 @@ def build_level(quantized: jax.Array, t: int) -> jax.Array:
 
 
 def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
-    """quantized bitmask image -> (8*T*T, H/T, W/T) decimated responses.
+    """quantized bitmask image -> (8*T*T, H/T, W/T) i32 decimated
+    responses (values 0..4).
 
     Decimates FIRST (one 1-channel relayout) and runs spread + response
     math on the subgrid stack — equal to
     ``decimate_2d(response_maps(spread(q, t)), t)`` (tested) but without
-    the 8*T*T-channel transpose that dominated the front-end.
+    the 8*T*T-channel transpose that dominated the front-end.  The whole
+    pipeline runs in i32: u8 relayouts/stores cost ~0.8 ms per
+    (modality, both levels) on TPU where the identical i32 program is
+    ~free (sub-noise, measured via benchmarks/kernel_lab frontend) —
+    the VPU is 32-bit-native and XLA's u8 transposes dominate the
+    byte-size savings.
     """
     h, w = quantized.shape
     hd, wd = h // t, w // t
-    q_dec = decimate_quant(quantized, t).reshape(t, t, hd, wd)
-    sd = spread_decimated(q_dec, t).reshape(t * t, hd, wd)
-    r = response_maps(sd)                     # (8, T*T, Hd, Wd)
-    return r.reshape(8 * t * t, hd, wd)
+    q = quantized.astype(jnp.int32)
+    q_dec = decimate_quant(q, t).reshape(t, t, hd, wd)
+    b = spread_decimated(q_dec, t).reshape(t * t, hd, wd)
+
+    def rot(x, k):
+        return ((x << k) | (x >> (8 - k))) & 0xFF
+
+    m1 = rot(b, 1) | rot(b, 7)
+    m2 = m1 | rot(b, 2) | rot(b, 6)
+    s4, s2, s1 = ORIENTATION_SCORES[0], ORIENTATION_SCORES[1], \
+        ORIENTATION_SCORES[2]
+    maps = [jnp.where(((b >> o) & 1) == 1, s4,
+                      jnp.where(((m1 >> o) & 1) == 1, s2,
+                                jnp.where(((m2 >> o) & 1) == 1, s1, 0)))
+            for o in range(8)]
+    return jnp.stack(maps).reshape(8 * t * t, hd, wd)

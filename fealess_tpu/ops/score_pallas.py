@@ -89,19 +89,63 @@ def _shift_lanes_zero(x: jax.Array, b: int) -> jax.Array:
 # Coarse whole-image scorer
 # ---------------------------------------------------------------------------
 
-def _coarse_kernel(hd: int, nb: int, f: int):
+# Budget for the VMEM-resident packed plane stack; above it the kernels
+# drop from stride-2 (two lane-preshifted copies) to a single copy.
+_VMEM_STACK_BUDGET = 11 * 2 ** 20
+
+
+def _stacked_planes(planes: jax.Array, hpad: int):
+    """Packed plane stack + bucket stride for the score kernels.
+
+    Stride 2 keeps TWO copies in VMEM — the packed planes and a
+    one-lane-preshifted copy — so a feature's odd column offset is
+    absorbed into its ROW index ((rx % 2) selects the copy) and the
+    kernels need only every second lane-shift epilogue: per-bucket
+    fixed cost (zeros + static shift + add, ~85 cyc on (30, 128))
+    halves, a measured 37% kernel win at the fixture operating point
+    (benchmarks/kernel_lab).  Falls back to one copy when two would
+    blow the VMEM budget."""
+    packed = _pack_planes(planes, hpad)          # (CQ, hpad, 128) i32
+    cq = packed.shape[0]
+    if 2 * packed.size * 4 > _VMEM_STACK_BUDGET:
+        return packed.reshape(cq * hpad, 128), cq, 1
+    shifted = jnp.concatenate(
+        [packed[:, :, 1:], jnp.zeros_like(packed[:, :, :1])], axis=2)
+    d2 = jnp.concatenate([packed, shifted]).reshape(2 * cq * hpad, 128)
+    return d2, cq, 2
+
+
+def _bucket_starts(bstart: jax.Array, stride: int) -> jax.Array:
+    """Stride-1 cumulative bucket boundaries -> stride-s boundaries
+    (bucket j spans rx in [s*j, s*(j+1)): rows bstart[s*j]..bstart[min(
+    s*(j+1), nb)])."""
+    if stride == 1:
+        return bstart
+    nb = bstart.shape[1] - 1
+    out = bstart[:, ::stride]
+    if nb % stride:
+        out = jnp.concatenate([out, bstart[:, -1:]], axis=1)
+    return out
+
+
+def _coarse_kernel(hd: int, nb2: int, f: int, stride: int):
     def kernel(rows_ref, sh_ref, bstart_ref, d_ref, out_ref):
         for t in range(_BN):
             acc = jnp.zeros((hd, 128), jnp.int32)
-            for b in range(nb):
+            for b in range(nb2):
+                lo = bstart_ref[t, b]
+                hi = bstart_ref[t, b + 1]
+
                 def inner(i, bacc):
                     slab = d_ref[pl.ds(rows_ref[t, i], hd), :]
                     return bacc + ((slab >> sh_ref[t, i]) & 255)
 
-                bacc = jax.lax.fori_loop(
-                    bstart_ref[t, b], bstart_ref[t, b + 1], inner,
-                    jnp.zeros((hd, 128), jnp.int32))
-                acc = acc + _shift_lanes(bacc, b)
+                def work(a, lo=lo, hi=hi, b=b):
+                    bacc = jax.lax.fori_loop(
+                        lo, hi, inner, jnp.zeros((hd, 128), jnp.int32))
+                    return a + _shift_lanes(bacc, stride * b)
+
+                acc = jax.lax.cond(lo < hi, work, lambda a: a, acc)
             out_ref[t] = acc
     return kernel
 
@@ -112,14 +156,14 @@ def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
     if wd + nb > 128 or hd + nb > 256:
         return _coarse_scores_xla(planes, table)
     hpad = hd + nb
-    packed = _pack_planes(planes, hpad)         # (CQ, hpad, 128) i32
-    cq = packed.shape[0]
-    d2 = packed.reshape(cq * hpad, 128)
+    d2, cq, stride = _stacked_planes(planes, hpad)
 
-    cc, ry = table["c"], table["ry"]
-    rows = ((cc // 4) * hpad + ry).astype(jnp.int32)
+    cc, ry, rx = table["c"], table["ry"], table["rx"]
+    rows = ((cc // 4) * hpad + ry
+            + (rx % stride) * (cq * hpad)).astype(jnp.int32)
     sh = (8 * (cc % 4)).astype(jnp.int32)
-    bstart = table["bstart"]
+    bstart = _bucket_starts(table["bstart"], stride)
+    nb2 = bstart.shape[1] - 1
     n, f = rows.shape
     npad = _round_up(n, _BN)
     rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
@@ -127,14 +171,14 @@ def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
     bstart = jnp.pad(bstart, ((0, npad - n), (0, 0)))  # all-zero -> no work
 
     out = pl.pallas_call(
-        _coarse_kernel(hd, nb, f),
+        _coarse_kernel(hd, nb2, f, stride),
         grid=(npad // _BN,),
         in_specs=[
             pl.BlockSpec((_BN, f), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_BN, f), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BN, nb + 1), lambda i: (i, 0),
+            pl.BlockSpec((_BN, nb2 + 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -185,21 +229,26 @@ def coarse_scores(planes: jax.Array, table) -> jax.Array:
 # Local 16x16 refinement scorer
 # ---------------------------------------------------------------------------
 
-def _local_kernel(nb: int, f: int):
+def _local_kernel(nb2: int, f: int, stride: int):
     w16 = LOCAL_WINDOW
 
     def kernel(rows_ref, sh_ref, bstart_ref, px0_ref, d_ref, out_ref):
         kk = pl.program_id(0)
         acc = jnp.zeros((w16, 128), jnp.int32)
-        for b in range(nb):
+        for b in range(nb2):
+            lo = bstart_ref[kk, b]
+            hi = bstart_ref[kk, b + 1]
+
             def inner(i, bacc):
                 slab = d_ref[pl.ds(rows_ref[kk, i], w16), :]
                 return bacc + ((slab >> sh_ref[kk, i]) & 255)
 
-            bacc = jax.lax.fori_loop(
-                bstart_ref[kk, b], bstart_ref[kk, b + 1], inner,
-                jnp.zeros((w16, 128), jnp.int32))
-            acc = acc + _shift_lanes_zero(bacc, b)
+            def work(a, lo=lo, hi=hi, b=b):
+                bacc = jax.lax.fori_loop(
+                    lo, hi, inner, jnp.zeros((w16, 128), jnp.int32))
+                return a + _shift_lanes_zero(bacc, stride * b)
+
+            acc = jax.lax.cond(lo < hi, work, lambda a: a, acc)
         # window lanes [px0, px0+16) -> lanes [0, 16)
         out_ref[0] = pltpu.roll(acc, -px0_ref[kk], axis=1)
     return kernel
@@ -224,18 +273,20 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
     nb = table_k["bstart"].shape[1] - 1
     w16 = LOCAL_WINDOW
     hpad = hd + w16
-    packed = _pack_planes(planes, hpad)
-    cq = packed.shape[0]
-    d2 = packed.reshape(cq * hpad, 128)
+    d2, cq, stride = _stacked_planes(planes, hpad)
 
     px0c, a, ok = _local_prepare(table_k, px0, py0, hd)
     cc = table_k["c"]
-    rows = jnp.where(ok, (cc // 4) * hpad + a, (cq - 1) * hpad)
+    rx = table_k["rx"]
+    rows = jnp.where(ok, (cc // 4) * hpad + a
+                     + (rx % stride) * (cq * hpad), (cq - 1) * hpad)
     sh = jnp.where(ok, 8 * (cc % 4), 0).astype(jnp.int32)
+    bstart = _bucket_starts(table_k["bstart"], stride)
+    nb2 = bstart.shape[1] - 1
     k, f = rows.shape
 
     out = pl.pallas_call(
-        _local_kernel(nb, f),
+        _local_kernel(nb2, f, stride),
         grid=(k,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -247,7 +298,7 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
         out_specs=pl.BlockSpec((1, w16, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, w16, 128), jnp.int32),
-    )(rows.astype(jnp.int32), sh, table_k["bstart"].astype(jnp.int32),
+    )(rows.astype(jnp.int32), sh, bstart.astype(jnp.int32),
       px0c.astype(jnp.int32), d2)
     return out[:, :, :w16]
 
