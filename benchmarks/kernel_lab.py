@@ -414,6 +414,251 @@ def lab_local():
     print(f"local/kernel-only   {ms:7.3f} ms", flush=True)
 
 
+# --- local kernel variants at the production operating point ---------------
+
+def _local_variant_run(planes, table_k, px0, py0, stride, use_cond):
+    """Replica of _local_scores_tpu with (stride, cond) knobs."""
+    c, hd, wd = planes.shape
+    nb = table_k["bstart"].shape[1] - 1
+    w16 = score_pallas.LOCAL_WINDOW
+    hpad = hd + w16
+    packed = score_pallas._pack_planes(planes, hpad)
+    cq = packed.shape[0]
+    if stride == 2:
+        shifted = jnp.concatenate(
+            [packed[:, :, 1:], jnp.zeros_like(packed[:, :, :1])], axis=2)
+        d2 = jnp.concatenate([packed, shifted]).reshape(2 * cq * hpad, 128)
+    else:
+        d2 = packed.reshape(cq * hpad, 128)
+
+    px0c, a, ok = score_pallas._local_prepare(table_k, px0, py0, hd)
+    cc = table_k["c"]
+    rx = table_k["rx"]
+    rows = jnp.where(ok, (cc // 4) * hpad + a
+                     + (rx % stride) * (cq * hpad), (cq - 1) * hpad)
+    sh = jnp.where(ok, 8 * (cc % 4), 0).astype(jnp.int32)
+    bstart = score_pallas._bucket_starts(table_k["bstart"], stride)
+    nb2 = bstart.shape[1] - 1
+    k, f = rows.shape
+
+    def kernel(rows_ref, sh_ref, bstart_ref, px0_ref, d_ref, out_ref):
+        kk = pl.program_id(0)
+        acc = jnp.zeros((w16, 128), jnp.int32)
+        for b in range(nb2):
+            lo = bstart_ref[kk, b]
+            hi = bstart_ref[kk, b + 1]
+
+            def inner(i, bacc):
+                slab = d_ref[pl.ds(rows_ref[kk, i], w16), :]
+                return bacc + ((slab >> sh_ref[kk, i]) & 255)
+
+            def work(acc_, lo=lo, hi=hi, b=b):
+                bacc = jax.lax.fori_loop(
+                    lo, hi, inner, jnp.zeros((w16, 128), jnp.int32))
+                return acc_ + score_pallas._shift_lanes_zero(
+                    bacc, stride * b)
+
+            if use_cond:
+                acc = jax.lax.cond(lo < hi, work, lambda z: z, acc)
+            else:
+                acc = work(acc)
+        out_ref[0] = pltpu.roll(acc, -px0_ref[kk], axis=1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, w16, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, w16, 128), jnp.int32),
+    )(rows.astype(jnp.int32), sh, bstart.astype(jnp.int32),
+      px0c.astype(jnp.int32), d2)
+    return out[:, :, :w16]
+
+
+def lab_local2():
+    """Local kernel at the PRODUCTION fixture operating point: nb=39
+    buckets (192-px template span at level 0), k=64 candidates."""
+    rng = np.random.default_rng(1)
+    hd, wd = 96, 128
+    planes, table = _fixture_like(seed=1, n=1024, f=126, nb=39,
+                                  hd=hd, wd=wd, c=400, valid_frac=0.5)
+    k = 64
+    tslot = jnp.asarray(rng.integers(0, 1024, (k,)), jnp.int32)
+    table_k = {key: table[key][tslot] for key in table}
+    px0 = jnp.asarray(rng.integers(0, wd - 16, (k,)), jnp.int32)
+    py0 = jnp.asarray(rng.integers(0, hd - 16, (k,)), jnp.int32)
+
+    ref = None
+    for stride, use_cond in ((1, False), (1, True), (2, False), (2, True)):
+        fn = functools.partial(_local_variant_run, table_k=table_k,
+                               px0=px0, py0=py0, stride=stride,
+                               use_cond=use_cond)
+        ms = slope(fn, planes)
+        print(f"local2/s{stride}-cond{int(use_cond)}   {ms:7.3f} ms "
+              f"(nb=39, k=64)", flush=True)
+        out = np.asarray(fn(planes))
+        if ref is None:
+            ref = out
+        else:
+            assert np.array_equal(out, ref), (stride, use_cond)
+
+
+def lab_local3():
+    """Same kernel, but planes produced by the REAL front-end inside the
+    same jit (layout interaction test): build_level_2d x2 modalities."""
+    from fealess_tpu.ops import response as R
+
+    rng = np.random.default_rng(1)
+    hd, wd = 96, 128
+    img0 = jnp.asarray(rng.integers(0, 256, (480, 640), np.uint8))
+    img1 = jnp.asarray(rng.integers(0, 256, (480, 640), np.uint8))
+    _, table = _fixture_like(seed=1, n=1024, f=126, nb=39,
+                             hd=hd, wd=wd, c=400, valid_frac=0.5)
+    k = 64
+    tslot = jnp.asarray(rng.integers(0, 1024, (k,)), jnp.int32)
+    table_k = {key: table[key][tslot] for key in table}
+    px0 = jnp.asarray(rng.integers(0, wd - 16, (k,)), jnp.int32)
+    py0 = jnp.asarray(rng.integers(0, hd - 16, (k,)), jnp.int32)
+
+    def with_front(i0, i1):
+        planes = jnp.concatenate([R.build_level_2d(i0, 5),
+                                  R.build_level_2d(i1, 5)], axis=0)
+        return score_pallas.local_scores(planes, table_k, px0, py0)
+
+    ms = slope(with_front, img0, img1)
+    print(f"local3/front+kernel {ms:7.3f} ms (nb=39, k=64)", flush=True)
+
+    def with_front_barrier(i0, i1):
+        planes = jnp.concatenate([R.build_level_2d(i0, 5),
+                                  R.build_level_2d(i1, 5)], axis=0)
+        planes = jax.lax.optimization_barrier(planes)
+        return score_pallas.local_scores(planes, table_k, px0, py0)
+
+    ms = slope(with_front_barrier, img0, img1)
+    print(f"local3/front+BARRIER+kernel {ms:7.3f} ms", flush=True)
+
+    def with_front_copy(i0, i1):
+        planes = jnp.concatenate([R.build_level_2d(i0, 5),
+                                  R.build_level_2d(i1, 5)], axis=0)
+        planes = planes + jnp.int32(0)
+        planes = jax.lax.optimization_barrier(planes)
+        return score_pallas.local_scores(planes, table_k, px0, py0)
+
+    ms = slope(with_front_copy, img0, img1)
+    print(f"local3/front+COPY+kernel    {ms:7.3f} ms", flush=True)
+
+    def build_level_2d_slices(quantized, t):
+        """build_level_2d with the decimation as strided slices (no 4D
+        transpose)."""
+        from fealess_tpu.ops.luts import ORIENTATION_SCORES
+        h, w = quantized.shape
+        q = quantized.astype(jnp.int32)
+        sub = jnp.stack([q[a::t, b::t] for a in range(t)
+                         for b in range(t)])
+        b_ = R.spread_decimated(
+            sub.reshape(t, t, h // t, w // t), t).reshape(
+                t * t, h // t, w // t)
+
+        def rot(x, k_):
+            return ((x << k_) | (x >> (8 - k_))) & 0xFF
+
+        m1 = rot(b_, 1) | rot(b_, 7)
+        m2 = m1 | rot(b_, 2) | rot(b_, 6)
+        s4, s2, s1 = (ORIENTATION_SCORES[0], ORIENTATION_SCORES[1],
+                      ORIENTATION_SCORES[2])
+        maps = [jnp.where(((b_ >> o) & 1) == 1, s4,
+                          jnp.where(((m1 >> o) & 1) == 1, s2,
+                                    jnp.where(((m2 >> o) & 1) == 1, s1,
+                                              0)))
+                for o in range(8)]
+        return jnp.stack(maps).reshape(8 * t * t, h // t, w // t)
+
+    def with_front_slices(i0, i1):
+        planes = jnp.concatenate([build_level_2d_slices(i0, 5),
+                                  build_level_2d_slices(i1, 5)], axis=0)
+        return score_pallas.local_scores(planes, table_k, px0, py0)
+
+    ms = slope(with_front_slices, img0, img1)
+    print(f"local3/front-slices+kernel  {ms:7.3f} ms", flush=True)
+    a = np.asarray(with_front(img0, img1))
+    b2 = np.asarray(with_front_slices(img0, img1))
+    assert np.array_equal(a, b2)
+
+    def build_level_2d_mxu(quantized, t):
+        """Full-res spread+response (elementwise), then decimation as
+        0/1-selection matmuls on the MXU (bf16-exact: each output is one
+        resp value 0..4), assembled from tile-aligned slices."""
+        from fealess_tpu.ops.luts import ORIENTATION_SCORES
+        h, w = quantized.shape
+        hd, wd = h // t, w // t
+        q = quantized.astype(jnp.int32)
+        sp = R.spread(q, t)
+        b_ = sp.astype(jnp.int32)
+
+        def rot(x, k_):
+            return ((x << k_) | (x >> (8 - k_))) & 0xFF
+
+        m1 = rot(b_, 1) | rot(b_, 7)
+        m2 = m1 | rot(b_, 2) | rot(b_, 6)
+        s4, s2, s1 = (ORIENTATION_SCORES[0], ORIENTATION_SCORES[1],
+                      ORIENTATION_SCORES[2])
+        resp = jnp.stack(
+            [jnp.where(((b_ >> o) & 1) == 1, s4,
+                       jnp.where(((m1 >> o) & 1) == 1, s2,
+                                 jnp.where(((m2 >> o) & 1) == 1, s1, 0)))
+             for o in range(8)])                        # (8, h, w)
+
+        L = 128 * (-(-wd // 128))
+        M = 8 * (-(-hd // 8))
+        xs = np.arange(w)
+        pm = np.zeros((w, t * L), np.float32)
+        pm[xs, (xs % t) * L + xs // t] = 1.0
+        ys = np.arange(h)
+        qm = np.zeros((h, t * M), np.float32)
+        qm[ys, (ys % t) * M + ys // t] = 1.0
+        rb = resp.astype(jnp.bfloat16)
+        dl = jnp.matmul(rb.reshape(8 * h, w), jnp.asarray(pm, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        dl = dl.reshape(8, h, t * L)
+        e = jnp.einsum("ym,lyx->lmx", jnp.asarray(qm, jnp.bfloat16),
+                       dl.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        e = e.astype(jnp.int32)                         # (8, t*M, t*L)
+        blocks = [e[:, a * M:a * M + hd, bb * L:bb * L + wd]
+                  for a in range(t) for bb in range(t)]
+        return jnp.stack(blocks, axis=1).reshape(8 * t * t, hd, wd)
+
+    def with_front_mxu(i0, i1):
+        planes = jnp.concatenate([build_level_2d_mxu(i0, 5),
+                                  build_level_2d_mxu(i1, 5)], axis=0)
+        return score_pallas.local_scores(planes, table_k, px0, py0)
+
+    ms = slope(with_front_mxu, img0, img1)
+    print(f"local3/front-MXU+kernel     {ms:7.3f} ms", flush=True)
+    b3 = np.asarray(with_front_mxu(img0, img1))
+    assert np.array_equal(a, b3), "mxu decimation mismatch"
+
+    def front_only(i0, i1):
+        planes = jnp.concatenate([R.build_level_2d(i0, 5),
+                                  R.build_level_2d(i1, 5)], axis=0)
+        return planes.sum()[None]
+
+    ms = slope(front_only, img0, img1)
+    print(f"local3/front-only   {ms:7.3f} ms", flush=True)
+
+    def front_coarse(i0, i1):
+        planes = jnp.concatenate([R.build_level_2d(i0, 5),
+                                  R.build_level_2d(i1, 5)], axis=0)
+        hpad = planes.shape[1] + 16
+        d2, cq, stride = score_pallas._stacked_planes(planes, hpad)
+        return d2.sum()[None]
+
+    ms = slope(front_coarse, img0, img1)
+    print(f"local3/front+pack   {ms:7.3f} ms", flush=True)
+
+
 # --- NN variants -----------------------------------------------------------
 
 def lab_nn():
@@ -438,3 +683,7 @@ if __name__ == "__main__":
         lab_frontend()
     elif which == "local":
         lab_local()
+    elif which == "local2":
+        lab_local2()
+    elif which == "local3":
+        lab_local3()

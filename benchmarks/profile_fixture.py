@@ -129,6 +129,35 @@ def coarse(i, b, ops):
     return dep(b, raw)
 
 
+def match_stop_topk(i, b, ops):
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    m = det_mod.match_from_planes(ops["bank"], planes, 75.0, det_cfg,
+                                  kernels=ops["tables"],
+                                  profile_stop="topk")
+    return b + ((m.similarity[0] + m.x[0]) < -1e30).astype(jnp.uint8)
+
+
+def match_stop_local(i, b, ops):
+    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+    planes = det_mod.response_planes(levels, det_cfg)
+    m = det_mod.match_from_planes(ops["bank"], planes, 75.0, det_cfg,
+                                  kernels=ops["tables"],
+                                  profile_stop="local")
+    return b + ((m.similarity[0] + m.x[0]) < -1e30).astype(jnp.uint8)
+
+
+def _match_stop(stop):
+    def fn(i, b, ops):
+        levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
+        planes = det_mod.response_planes(levels, det_cfg)
+        m = det_mod.match_from_planes(ops["bank"], planes, 75.0, det_cfg,
+                                      kernels=ops["tables"],
+                                      profile_stop=stop)
+        return b + ((m.similarity[0] + m.x[0]) < -1e30).astype(jnp.uint8)
+    return fn
+
+
 def coarse_real(i, b, ops):
     """frontend + coarse Pallas scorer on the real planes (subtract the
     frontend stage to get the scorer's own cost)."""
@@ -202,6 +231,10 @@ STAGES = [
     ("topk(front+coarse+topk)", topk_stage),
     ("planes_l0(quant+L0planes)", planes_l0),
     ("planes_l1(quant+L1planes)", planes_l1),
+    ("stop_topk(match thru topk)", match_stop_topk),
+    ("stop_gather(+L0p+table gather)", _match_stop("gather")),
+    ("stop_kernel(+local kernel)", _match_stop("kernel")),
+    ("stop_local(match thru refine)", match_stop_local),
 ]
 
 print(f"n_templates={N}")

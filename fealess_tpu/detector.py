@@ -222,7 +222,7 @@ def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
 
 def match_from_planes(bank: TemplateBank, planes, threshold: float,
                       det: cfg.DetectorConfig, kernels=None,
-                      class_mask=None) -> Matches:
+                      class_mask=None, profile_stop=None) -> Matches:
     """Score the bank against decimated response planes.
 
     The coarse level computes all-template, all-position scores with the
@@ -303,6 +303,11 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     y = (pidx // wd) * t_c + off_c
     sim = top_scores
     valid = jnp.isfinite(top_scores)
+    if profile_stop == "topk":     # profiling hook (benchmarks only)
+        cls0 = bank.class_idx[tslot]
+        return Matches(x=x, y=y, similarity=sim, template_slot=tslot,
+                       class_idx=cls0, template_idx=bank.template_idx[tslot],
+                       valid=valid)
 
     # --- Local refinement up the pyramid (linemod.cpp:1509-1573):
     # candidate-windowed feature gather — only the K survivors' templates
@@ -338,7 +343,18 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
         table_k = {key: jnp.round(jnp.matmul(
             oh, table_l[key].astype(jnp.float32),
             precision=hi)).astype(jnp.int32) for key in table_l}
+        if profile_stop == "gather":   # profiling hook (benchmarks only)
+            return Matches(x=x, y=y,
+                           similarity=(sim + table_k["c"].sum()
+                                       + d_l.sum().astype(jnp.float32)),
+                           template_slot=tslot, class_idx=bank.class_idx[tslot],
+                           template_idx=bank.template_idx[tslot], valid=valid)
         total_i = score_pallas.local_scores(d_l, table_k, px0, py0)
+        if profile_stop == "kernel":   # profiling hook (benchmarks only)
+            return Matches(x=x, y=y,
+                           similarity=sim + total_i.sum().astype(jnp.float32),
+                           template_slot=tslot, class_idx=bank.class_idx[tslot],
+                           template_idx=bank.template_idx[tslot], valid=valid)
         total = total_i.reshape(k, win * win).astype(jnp.float32)
 
         best = jnp.max(total, axis=1)
@@ -348,6 +364,12 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
         y = (y // t - 8 + best_r) * t + offs
         sim = best * 100.0 / (4 * nf_l).astype(jnp.float32)
         valid = valid & (sim >= jnp.float32(threshold))
+
+    if profile_stop == "local":    # profiling hook (benchmarks only)
+        cls0 = bank.class_idx[tslot]
+        return Matches(x=x, y=y, similarity=sim, template_slot=tslot,
+                       class_idx=cls0, template_idx=bank.template_idx[tslot],
+                       valid=valid)
 
     # --- Final ordering + duplicate suppression (linemod.cpp:1437-1439)
     sim = jnp.where(valid, sim, -jnp.inf)

@@ -21,6 +21,9 @@ fuses into a handful of VPU passes:
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -181,25 +184,10 @@ def build_level(quantized: jax.Array, t: int) -> jax.Array:
     return decimate(response_maps(spread(quantized, t)), t)
 
 
-def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
-    """quantized bitmask image -> (8*T*T, H/T, W/T) i32 decimated
-    responses (values 0..4).
-
-    Decimates FIRST (one 1-channel relayout) and runs spread + response
-    math on the subgrid stack — equal to
-    ``decimate_2d(response_maps(spread(q, t)), t)`` (tested) but without
-    the 8*T*T-channel transpose that dominated the front-end.  The whole
-    pipeline runs in i32: u8 relayouts/stores cost ~0.8 ms per
-    (modality, both levels) on TPU where the identical i32 program is
-    ~free (sub-noise, measured via benchmarks/kernel_lab frontend) —
-    the VPU is 32-bit-native and XLA's u8 transposes dominate the
-    byte-size savings.
-    """
-    h, w = quantized.shape
-    hd, wd = h // t, w // t
-    q = quantized.astype(jnp.int32)
-    q_dec = decimate_quant(q, t).reshape(t, t, hd, wd)
-    b = spread_decimated(q_dec, t).reshape(t * t, hd, wd)
+def _response_stack_i32(spread_img: jax.Array) -> jax.Array:
+    """(8, H, W) i32 response stack from a spread bitmask image (same
+    generating rule as :func:`response_maps`, kept in i32)."""
+    b = spread_img.astype(jnp.int32)
 
     def rot(x, k):
         return ((x << k) | (x >> (8 - k))) & 0xFF
@@ -208,8 +196,79 @@ def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
     m2 = m1 | rot(b, 2) | rot(b, 6)
     s4, s2, s1 = ORIENTATION_SCORES[0], ORIENTATION_SCORES[1], \
         ORIENTATION_SCORES[2]
-    maps = [jnp.where(((b >> o) & 1) == 1, s4,
-                      jnp.where(((m1 >> o) & 1) == 1, s2,
-                                jnp.where(((m2 >> o) & 1) == 1, s1, 0)))
-            for o in range(8)]
-    return jnp.stack(maps).reshape(8 * t * t, hd, wd)
+    return jnp.stack(
+        [jnp.where(((b >> o) & 1) == 1, s4,
+                   jnp.where(((m1 >> o) & 1) == 1, s2,
+                             jnp.where(((m2 >> o) & 1) == 1, s1, 0)))
+         for o in range(8)])
+
+
+@functools.lru_cache(maxsize=16)
+def _decim_selectors(h: int, w: int, t: int):
+    """0/1 selection matrices (host numpy) for the MXU decimation:
+    ``P[x, (x%t)*L + x//t] = 1`` reorders lanes into T tile-aligned
+    column-residue groups of L = roundup(W/T, 128) decimated cells;
+    ``Q[y, (y%t)*M + y//t] = 1`` does rows with M = roundup(H/T, 8)."""
+    ll = 128 * (-(-(w // t) // 128))
+    m = 8 * (-(-(h // t) // 8))
+    xs = np.arange(w)
+    pm = np.zeros((w, t * ll), np.float32)
+    pm[xs, (xs % t) * ll + xs // t] = 1.0
+    ys = np.arange(h)
+    qm = np.zeros((h, t * m), np.float32)
+    qm[ys, (ys % t) * m + ys // t] = 1.0
+    return pm, qm, ll, m
+
+
+def _build_level_2d_mxu(quantized: jax.Array, t: int) -> jax.Array:
+    """TPU serving path of :func:`build_level_2d`: full-resolution spread
+    + response (pure elementwise, XLA-fused), then the decimation as 0/1
+    SELECTION MATMULS on the MXU, assembled from tile-aligned slices.
+
+    Rationale (measured on chip, benchmarks/kernel_lab local3): the
+    decimate-first formulation is cheap while its planes feed reductions,
+    but the moment a Pallas score kernel forces materialization, XLA
+    lowers the (H, W) -> (T, T, H/T, W/T) relayout as real transposes
+    and buffer shuffles costing ~2 ms/frame at 640x480.  The matmul form
+    is transpose-free — outputs are (residue-group, 128-lane-aligned)
+    slices — and exact: each product element selects exactly ONE
+    response value 0..4, so bf16 MXU passes are lossless.  Cost ~2.8
+    GMAC/modality at level 0, ~free on the MXU (front-end + local kernel
+    0.22 ms vs 2.26 ms before)."""
+    h, w = quantized.shape
+    hd, wd = h // t, w // t
+    sp = spread(quantized.astype(jnp.int32), t)
+    resp = _response_stack_i32(sp)                     # (8, h, w)
+    pm, qm, ll, m = _decim_selectors(h, w, t)
+    rb = resp.astype(jnp.bfloat16)
+    dl = jnp.matmul(rb.reshape(8 * h, w), jnp.asarray(pm, jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dl = dl.reshape(8, h, t * ll)
+    e = jnp.einsum("ym,lyx->lmx", jnp.asarray(qm, jnp.bfloat16),
+                   dl.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    e = e.astype(jnp.int32)                            # (8, t*M, t*L)
+    blocks = [e[:, a * m:a * m + hd, b * ll:b * ll + wd]
+              for a in range(t) for b in range(t)]
+    return jnp.stack(blocks, axis=1).reshape(8 * t * t, hd, wd)
+
+
+def build_level_2d(quantized: jax.Array, t: int) -> jax.Array:
+    """quantized bitmask image -> (8*T*T, H/T, W/T) i32 decimated
+    responses (values 0..4) — the "linear memories" kept on a 2D grid
+    (linemod.cpp:1060-1088).
+
+    Equal to ``decimate_2d(response_maps(spread(q, t)), t)`` (tested).
+    On TPU the decimation runs as exact selection matmuls on the MXU
+    (:func:`_build_level_2d_mxu`); elsewhere it decimates FIRST and runs
+    spread + response on the subgrid stack in i32 (u8 relayouts measured
+    ~0.8 ms/modality on TPU; the VPU is 32-bit-native).
+    """
+    if jax.default_backend() == "tpu":
+        return _build_level_2d_mxu(quantized, t)
+    h, w = quantized.shape
+    hd, wd = h // t, w // t
+    q = quantized.astype(jnp.int32)
+    q_dec = decimate_quant(q, t).reshape(t, t, hd, wd)
+    b = spread_decimated(q_dec, t).reshape(t * t, hd, wd)
+    return _response_stack_i32(b).reshape(8 * t * t, hd, wd)

@@ -141,3 +141,18 @@ def test_build_level_2d_decimate_first_equivalence(rng):
         ref = np.asarray(r.decimate_2d(r.response_maps(
             r.spread(jnp.asarray(img), t)), t))
         np.testing.assert_array_equal(fused, ref)
+
+
+def test_build_level_2d_mxu_path_equivalence(rng):
+    from fealess_tpu.ops import response as r
+    """The TPU serving path (selection-matmul decimation,
+    _build_level_2d_mxu) must equal the decimate-first path bit-for-bit
+    — each matmul element selects exactly one 0..4 response, so bf16 is
+    lossless; covers both the lane-aligned (t=5, Wd=128) and padded
+    (t=8, Wd=40) selector shapes."""
+    for t, (h, w) in ((5, (160, 640)), (8, (240, 320))):
+        img = (1 << rng.integers(0, 8, size=(h, w))).astype(np.uint8)
+        img[rng.random((h, w)) < 0.3] = 0
+        want = np.asarray(r.build_level_2d(jnp.asarray(img), t))
+        got = np.asarray(r._build_level_2d_mxu(jnp.asarray(img), t))
+        np.testing.assert_array_equal(got, want, err_msg=f"t={t}")
