@@ -3,7 +3,7 @@
 Runs BOTH engines — the unmodified C++ reference (ref_series) and
 fealess_tpu's ObjReco — over the identical multi-view bank and 32-frame
 test sequence (make_sequence.py), computes the ADD metric per frame
-against the rendered ground-truth poses, and writes PARITY_r03.json at
+against the rendered ground-truth poses, and writes PARITY_r04.json at
 the repo root:
 
   ADD(R^, t^) = mean_p || (R^ p + t^) - (R p + t) ||   over model points
@@ -132,7 +132,7 @@ def main():
             float(np.mean(list(tpu_errs.values()))), 3) if tpu_errs else None,
         "ref_ms_per_frame": round(ref_ms, 2),
     }
-    out = os.path.join(REPO, "PARITY_r03.json")
+    out = os.path.join(REPO, "PARITY_r04.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

@@ -13,11 +13,14 @@ Design notes (all measured on the target chip):
 - Mosaic's dynamic lane roll costs ~60 cycles per (11, 128) operand —
   6x the slice+add itself — so the kernels never roll per feature.
   Instead features are BUCKETED by their decimated column offset
-  ``rx = x//T`` (at most the template span, ~13 buckets at the coarse
-  level): within a bucket the lane shift is common, so the per-feature
-  work is an aligned dynamic-sublane slice + add (~16 cycles), and ONE
-  static lane rotation per bucket is hoisted out of the feature loop
-  (sum-then-shift == shift-then-sum).
+  ``rx = x//T``: within a bucket the lane shift is common, so the
+  per-feature work is an aligned dynamic-sublane slice + add (~13
+  cycles), and ONE static lane shift per bucket is hoisted out of the
+  feature loop (sum-then-shift == shift-then-sum).  Buckets run at
+  STRIDE 2 against a VMEM stack holding the packed planes plus a
+  one-lane-preshifted copy — ``rx % 2`` is absorbed into the row index,
+  halving the ~85-cycle per-bucket epilogue count (37% kernel win,
+  measured) — and empty buckets skip via ``lax.cond``.
 - Only 32-bit dtypes support dynamic sublane slices on this toolchain,
   which would blow VMEM for the level-0 plane stack; instead FOUR u8
   response channels are byte-packed per i32 lane (planes values are

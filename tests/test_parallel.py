@@ -42,11 +42,12 @@ def test_eight_devices_present():
 
 def test_sharded_match_equals_local(scene_and_bank, det_cfg):
     (bgr, depth), bank = scene_and_bank
-    local = detector.match_bank(bank, jnp.asarray(bgr), jnp.asarray(depth),
-                                75.0, det_cfg)
+    local = jax.jit(lambda b, i, d: detector.match_bank(
+        b, i, d, 75.0, det_cfg))(bank, jnp.asarray(bgr), jnp.asarray(depth))
     m = mesh_mod.template_mesh()
-    sharded = sharded_match.match_bank_sharded(
-        bank, jnp.asarray(bgr), jnp.asarray(depth), 75.0, det_cfg, m)
+    sharded = jax.jit(lambda b, i, d: sharded_match.match_bank_sharded(
+        b, i, d, 75.0, det_cfg, m))(bank, jnp.asarray(bgr),
+                                    jnp.asarray(depth))
     lv = np.asarray(local.valid)
     sv = np.asarray(sharded.valid)
     assert sv.any()
@@ -102,11 +103,11 @@ def test_batch_recon_sharded_matches_single(scene_and_bank, det_cfg):
     bgr_b = jnp.broadcast_to(jnp.asarray(bgr), (b,) + bgr.shape)
     depth_b = jnp.broadcast_to(jnp.asarray(depth), (b,) + depth.shape)
 
-    single = batch_recon.recognize_batch(bank, md, orig, bgr_b, depth_b,
-                                         kk, engine)
+    single = jax.jit(lambda *a: batch_recon.recognize_batch(*a, engine))(
+        bank, md, orig, bgr_b, depth_b, kk)
     m = mesh_mod.make_mesh([("d", 8)])
-    sharded = batch_recon.recognize_batch_sharded(
-        bank, md, orig, bgr_b, depth_b, kk, engine, m)
+    sharded = jax.jit(lambda *a: batch_recon.recognize_batch_sharded(
+        *a, engine, m))(bank, md, orig, bgr_b, depth_b, kk)
     np.testing.assert_allclose(np.asarray(sharded.similarity),
                                np.asarray(single.similarity), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sharded.pose),
