@@ -661,6 +661,65 @@ def lab_local3():
 
 # --- NN variants -----------------------------------------------------------
 
+def _nn_mxu_kernel(q_ref, r_ref, rn_ref, out_d2, out_idx):
+    j = pl.program_id(1)
+    tq = q_ref.shape[0]
+    tr = r_ref.shape[1]
+    dot = jax.lax.dot_general(
+        q_ref[:], r_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (TQ, TR) on MXU
+    qn = jnp.sum(q_ref[:] * q_ref[:], axis=1, keepdims=True)
+    d2 = qn + rn_ref[:] - 2.0 * dot
+    local_min = jnp.min(d2, axis=1, keepdims=True)
+    local_arg = (jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+                 + j * tr)
+
+    @pl.when(j == 0)
+    def _():
+        out_d2[:] = local_min
+        out_idx[:] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_min < out_d2[:]
+        out_d2[:] = jnp.where(better, local_min, out_d2[:])
+        out_idx[:] = jnp.where(better, local_arg, out_idx[:])
+
+
+def nn_mxu(query, ref, tq=256, tr=2048):
+    nq, nr = query.shape[0], ref.shape[0]
+    nq_pad = -(-nq // tq) * tq
+    nr_pad = -(-nr // tr) * tr
+    big = jnp.float32(3.0e9)
+    qp = jnp.pad(query.astype(jnp.float32), ((0, nq_pad - nq), (0, 0)),
+                 constant_values=-big)
+    rp = jnp.pad(ref.astype(jnp.float32), ((0, nr_pad - nr), (0, 0)),
+                 constant_values=big)
+    rt = rp.T                                  # (3, Nr)
+    rn = jnp.sum(rp * rp, axis=1).reshape(1, -1)
+    grid = (nq_pad // tq, nr_pad // tr)
+    d2, idx = pl.pallas_call(
+        _nn_mxu_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((tq, 1), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tq, 1), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nq_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nq_pad, 1), jnp.int32)),
+    )(qp, rt, rn)
+    return idx[:nq, 0], d2[:nq, 0]
+
+
 def lab_nn():
     from fealess_tpu.ops import nn_pallas
 
@@ -669,6 +728,20 @@ def lab_nn():
     r = jnp.asarray(rng.normal(size=(16384, 3)).astype(np.float32) * 100)
     ms = slope(nn_pallas.nearest_neighbor_tiled, q, r)
     print(f"nn/tiled-vpu      {ms:7.3f} ms  (16384x16384)", flush=True)
+    try:
+        ms = slope(nn_mxu, q, r)
+        print(f"nn/mxu-dot        {ms:7.3f} ms", flush=True)
+        i0, d0 = (np.asarray(v) for v in
+                  nn_pallas.nearest_neighbor_tiled(q, r))
+        i1, d1 = (np.asarray(v) for v in nn_mxu(q, r))
+        same = i0 == i1
+        tie = np.abs(d1 - d0) <= 1e-3 * np.maximum(d0, 1)
+        print(f"nn/mxu idx_equal={same.sum()}/{same.size} "
+              f"all_ok={bool(np.all(same | tie))} "
+              f"max_rel={float(np.max(np.abs(d1-d0)/np.maximum(d0,1))):.2e}",
+              flush=True)
+    except Exception as e:
+        print("nn/mxu FAILED:", type(e).__name__, str(e)[:300], flush=True)
 
 
 if __name__ == "__main__":
