@@ -29,7 +29,6 @@ from fealess_tpu import detector as det_mod
 from fealess_tpu import pipeline
 from fealess_tpu.bank import TemplateBank, pack_bank
 from fealess_tpu.geometry import depth as gd
-from fealess_tpu.geometry import transforms as tf
 from fealess_tpu.io import linemod_yaml
 
 # Error codes (CadReco/lotus_common.h:5-10)
@@ -365,79 +364,34 @@ class ObjReco:
         restricts the search to those classes (linemod.hpp:317-325, e.g.
         re-detecting one known class inside a tracked ROI).
 
-        The unmasked path is the FUSED device step
-        (pipeline.recognize_top1): match + top-1 select + refine compile
-        into one program and the host does exactly one device round trip
-        per frame, so CLI throughput matches bench.py.  The masked path
-        keeps the two-call orchestration (matching under a runtime mask).
+        Both the unmasked and the ROI-masked paths are the FUSED device
+        step (pipeline.recognize_top1): match + top-1 select + refine
+        compile into one program and the host does exactly one device
+        round trip per frame, so CLI/tracker throughput matches bench.py.
         """
+        import jax
+
         if self.bank is None:
             raise RuntimeError("add_obj not called")
-        d = self.cfg.detector
         rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
                                                           depth_u16, cam)
-        if roi_mask is None:
-            import jax
-
-            step = pipeline.recognize_top1_jit(
-                self.bank, self._model_depth_dev, self._origins_dev,
-                jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
-                self.cfg, kernels=self._kernels,
-                class_mask=self._class_mask(class_ids))
-            host = jax.device_get(step)          # one bulk fetch
-            if not bool(host.valid):
-                return []
-            slot = int(host.template_slot)
-            return [RecoResult(
-                obj_tag=self.bank.class_names[int(host.class_idx)],
-                world2cam=np.asarray(host.pose),
-                similarity=float(host.similarity),
-                icp_dist=float(host.refine.icp.dist_mean),
-                inlier_ratio=float(host.refine.icp.inlier_ratio),
-                match_rect=(float(host.match_x), float(host.match_y),
-                            float(np.asarray(self.bank.width)[slot, 0]),
-                            float(np.asarray(self.bank.height)[slot, 0])))]
-
-        matches = det_mod.match_bank_masked_jit(
-            self.bank, jnp.asarray(rgb_bgr), jnp.asarray(depth_u16),
-            jnp.asarray(roi_mask.astype(bool)),
-            float(self.cfg.matching_threshold), d,
-            kernels=self._kernels, class_mask=self._class_mask(class_ids))
-        valid = np.asarray(matches.valid)
-        if not valid.any():
+        step = pipeline.recognize_top1_jit(
+            self.bank, self._model_depth_dev, self._origins_dev,
+            jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
+            self.cfg, kernels=self._kernels,
+            class_mask=self._class_mask(class_ids),
+            roi_mask=None if roi_mask is None
+            else jnp.asarray(roi_mask.astype(bool)))
+        host = jax.device_get(step)          # one bulk fetch
+        if not bool(host.valid):
             return []
-        top = int(np.argmax(valid))          # first valid = best
-        slot = int(np.asarray(matches.template_slot)[top])
-        mx = int(np.asarray(matches.x)[top])
-        my = int(np.asarray(matches.y)[top])
-        sim = float(np.asarray(matches.similarity)[top])
-        cls = self.bank.class_names[int(np.asarray(matches.class_idx)[top])]
-
-        pose13 = np.asarray(self.bank.pose)[slot]
-        r_match, t_match, _ = tf.pose_from_13floats(jnp.asarray(pose13))
-        rect_w = int(np.asarray(self.bank.width)[slot, 0])
-        rect_h = int(np.asarray(self.bank.height)[slot, 0])
-        off_x = int(np.asarray(self.bank.offset_x)[slot, 0])
-        off_y = int(np.asarray(self.bank.offset_y)[slot, 0])
-        dx0, dy0 = self._depth_origin.get(slot, (off_x, off_y))
-
-        # The model depth was pre-cropped at (dx0, dy0); shifting the
-        # principal point keeps absolute-pixel unprojection exact.
-        template_k = gd.intrinsics_matrix(
-            self.cfg.template_fx, self.cfg.template_fy,
-            self.cfg.template_cx - dx0, self.cfg.template_cy - dy0)
-
-        res = pipeline.refine_match_jit(
-            jnp.asarray(depth_u16), scene_k,
-            jnp.asarray(self._model_depth[slot]), template_k,
-            rect_w, rect_h,
-            off_x - dx0, off_y - dy0, mx, my,
-            r_match, t_match, self.cfg,
-            crop_h=self.cfg.refine_crop, crop_w=self.cfg.refine_crop)
-
-        pose = np.asarray(tf.pose_matrix_4x4(res.r, res.t))
-        return [RecoResult(obj_tag=cls, world2cam=pose, similarity=sim,
-                           icp_dist=float(np.asarray(res.icp.dist_mean)),
-                           inlier_ratio=float(np.asarray(res.icp.inlier_ratio)),
-                           match_rect=(float(mx), float(my),
-                                       float(rect_w), float(rect_h)))]
+        slot = int(host.template_slot)
+        return [RecoResult(
+            obj_tag=self.bank.class_names[int(host.class_idx)],
+            world2cam=np.asarray(host.pose),
+            similarity=float(host.similarity),
+            icp_dist=float(host.refine.icp.dist_mean),
+            inlier_ratio=float(host.refine.icp.inlier_ratio),
+            match_rect=(float(host.match_x), float(host.match_y),
+                        float(np.asarray(self.bank.width)[slot, 0]),
+                        float(np.asarray(self.bank.height)[slot, 0])))]
