@@ -161,6 +161,26 @@ def _seq_results():
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def _kcf_trace(bgr):
+    """ROI trace of the KCF tracker over a deterministic panning scene
+    (same frame construction as bench.py's gated config)."""
+    import jax
+    import jax.numpy as jnp
+    from fealess_tpu.tracker.kcf import KcfTracker, kcf_reference_config
+
+    frames = [np.roll(np.roll(bgr, 3 * i, axis=1), i, axis=0)
+              for i in range(12)]
+    tracker = KcfTracker(kcf_reference_config(hog=True, fixed_window=True,
+                                              multiscale=True, lab=False))
+    state = tracker.init((240.0, 160.0, 192.0, 160.0), frames[0])
+    update = jax.jit(tracker._update)
+    rois = []
+    for f in frames[1:]:
+        state, roi = update(state, jnp.asarray(f))
+        rois.append(np.asarray(roi))
+    return np.stack(rois)
+
+
 def run_golden():
     import jax
 
@@ -195,6 +215,7 @@ def run_golden():
     nn_idx, nn_d2 = (np.asarray(v) for v in nn_pallas._nn_xla_blocked(
         jnp.asarray(q), jnp.asarray(r)))
 
+    kcf_rois = _kcf_trace(bgr)
     seq = _seq_results()
 
     np.savez_compressed(
@@ -209,6 +230,7 @@ def run_golden():
         local_rx=table_k["rx"], local_bstart=table_k["bstart"],
         local_px0=px0, local_py0=py0, local_golden=local,
         nn_q=q, nn_r=r, nn_idx=nn_idx, nn_d2=nn_d2,
+        kcf_rois=kcf_rois,
         seq_x=seq["x"], seq_y=seq["y"], seq_sim=seq["sim"],
         seq_pose=seq["pose"])
     print(f"golden written: {GOLDEN}")
@@ -285,6 +307,19 @@ def run_chip(out_path):
           {"idx_equal": int(idx_same.sum()), "n": int(idx_same.size),
            "max_d2_rel_err": float(np.max(
                np.abs(d2_tpu - g["nn_d2"]) / np.maximum(g["nn_d2"], 1)))})
+
+    # 4b. KCF tracker on chip vs CPU ROI trace: the tracker's FFT
+    # correlation/complex math runs in f32 on the chip (the tracked
+    # serving path); its ROI trajectory must follow the CPU path within
+    # sub-pixel slack on a deterministic panning scene (the CPU path is
+    # itself pinned to the compiled reference within 2 px,
+    # tests/test_kcf_parity.py).
+    if "kcf_rois" in g:
+        rois_tpu = _kcf_trace(bgr)
+        kcf_dev = float(np.max(np.abs(rois_tpu - g["kcf_rois"])))
+        check("kcf_tracker", kcf_dev <= 1.0,
+              {"frames": int(len(rois_tpu)),
+               "max_roi_dev_px": kcf_dev})
 
     # 5. end-to-end poses over the sequence.  The match must agree
     # EXACTLY (integer scores -> same candidate, same pixel); the refined
