@@ -201,6 +201,27 @@ def build_match_tables(bank: TemplateBank, det: cfg.DetectorConfig,
 build_match_kernels = build_match_tables
 
 
+def exact_top_k_rows(flat: jax.Array, k: int, rows: int):
+    """Exact global top-k of ``flat`` (equal to ``jax.lax.top_k(flat,
+    k)`` including tie order) via per-row top-k + merge over the
+    ``(rows, cols)`` reshape.  One flat top_k over N*P elements costs
+    ~4x more on TPU than the batched row form (1.93 vs 0.47 ms at
+    1024x1200, measured — benchmarks/kernel_lab).  Tie order (value
+    desc, flat index asc) is preserved: per-row top_k ties by column,
+    and the merged (row, rank) order IS flat-index order for equal
+    values.  Falls back to the flat form when the rows are too small to
+    cover k."""
+    p = flat.shape[0] // rows
+    kk = min(k, p)
+    if rows * kk < k or p <= 1:
+        return jax.lax.top_k(flat, k)
+    s2, i2 = jax.lax.top_k(flat.reshape(rows, p), kk)
+    gidx = (jnp.arange(rows, dtype=jnp.int32)[:, None] * p
+            + i2.astype(jnp.int32))
+    top, im = jax.lax.top_k(s2.reshape(-1), k)
+    return top, gidx.reshape(-1)[im]
+
+
 def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                threshold: float, det: cfg.DetectorConfig,
                masks: Optional[List] = None,
@@ -281,21 +302,7 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
              / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5
     flat = jnp.where(cand_ok, score, -jnp.inf).reshape(-1)
-    # Exact global top-K via per-template top-K + merge: one flat top_k
-    # over N*P elements costs ~4x more on TPU than the batched row form
-    # (1.93 vs 0.47 ms at 1024x1200, measured — benchmarks/kernel_lab).
-    # Tie order (score desc, flat index asc) is preserved: per-row top_k
-    # ties by column, and the merged (row, rank) order IS flat-index
-    # order for equal scores.
-    kk = min(k, p)
-    if n * kk >= k and p > 1:
-        s2, i2 = jax.lax.top_k(flat.reshape(n, p), kk)
-        gidx = (jnp.arange(n, dtype=jnp.int32)[:, None] * p
-                + i2.astype(jnp.int32))
-        top_scores, im = jax.lax.top_k(s2.reshape(-1), k)
-        top_idx = gidx.reshape(-1)[im]
-    else:
-        top_scores, top_idx = jax.lax.top_k(flat, k)
+    top_scores, top_idx = exact_top_k_rows(flat, k, n)
     tslot = top_idx // p
     pidx = top_idx % p
     off_c = _offset(t_c)

@@ -129,3 +129,26 @@ def test_recognize_top1_fused_matches_host_path(feature_dir):
     np.testing.assert_allclose(np.asarray(step.pose), host.world2cam,
                                rtol=1e-5, atol=1e-4)
     assert float(step.similarity) == pytest.approx(host.similarity)
+
+
+def test_recognition_roi_mask_gates_search(feature_dir):
+    """The fused ROI-masked Recognition: a mask excluding the object
+    yields no detection; a mask covering it reproduces the unmasked
+    result (the tracker-gated path, linemod_acq.cpp:136-191)."""
+    path, (bgr, depth, mask), _ = feature_dir
+    eng = _engine(feature_dir)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+
+    full = eng.recognition(bgr, depth, cam)
+    assert full
+
+    cover = np.zeros((H, W), bool)
+    cover[32:128, 64:192] = True          # generous box around the object
+    gated = eng.recognition(bgr, depth, cam, roi_mask=cover)
+    assert gated
+    np.testing.assert_allclose(gated[0].world2cam, full[0].world2cam,
+                               atol=1e-5)
+
+    away = np.zeros((H, W), bool)
+    away[:32, :48] = True                 # corner without the object
+    assert eng.recognition(bgr, depth, cam, roi_mask=away) == []

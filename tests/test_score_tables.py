@@ -4,6 +4,7 @@ direct numpy sum over features (the defining formula of
 ``similarity``/``similarityLocal``, linemod.cpp:1130-1300)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -195,3 +196,19 @@ def test_local_scores_match_direct_sum(rng):
                 b = int(px0[ki]) + fx[ni, m, fi] // t
                 want[ki] += pad[c, a:a + 16, b:b + 16]
     np.testing.assert_array_equal(got, want)
+
+
+def test_exact_top_k_rows_equals_flat_top_k(rng):
+    """The 2-level candidate selection must equal jax.lax.top_k exactly,
+    INCLUDING tie order (value desc, flat index asc) — scores are
+    quantized ints so ties are common."""
+    for rows, cols, k in ((16, 24, 8), (64, 30, 64), (8, 4, 16)):
+        # heavy ties: few distinct values
+        flat = jnp.asarray(
+            rng.integers(0, 6, rows * cols).astype(np.float32))
+        flat = jnp.where(jnp.asarray(rng.random(rows * cols) < 0.5),
+                         flat, -jnp.inf)
+        s0, i0 = jax.lax.top_k(flat, k)
+        s1, i1 = detector.exact_top_k_rows(flat, k, rows)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
