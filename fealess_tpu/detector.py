@@ -402,16 +402,3 @@ def match_bank_jit(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
     return match_bank(bank, bgr, depth_mm, threshold, det, kernels=kernels)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "det"))
-def match_bank_masked_jit(bank: TemplateBank, bgr: jax.Array,
-                          depth_mm: jax.Array, roi_mask: jax.Array,
-                          threshold: float,
-                          det: cfg.DetectorConfig, kernels=None,
-                          class_mask=None) -> Matches:
-    """Match gated by a level-0 ROI mask applied to both modalities (the
-    KCF-gated re-detection path of the reference demo,
-    test/linemod_acq.cpp:136-191), optionally restricted to a class
-    subset (linemod.hpp:317-325)."""
-    return match_bank(bank, bgr, depth_mm, threshold, det,
-                      masks=[roi_mask, roi_mask], kernels=kernels,
-                      class_mask=class_mask)
