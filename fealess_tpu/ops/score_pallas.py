@@ -153,7 +153,12 @@ def _coarse_kernel(hd: int, nb2: int, f: int, stride: int):
     return kernel
 
 
+@jax.custom_batching.sequential_vmap
 def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
+    # sequential_vmap: Pallas auto-batching rejects the SMEM table
+    # operands' tiling; a vmapped call (frame-batched serving,
+    # parallel.batch_recon on chip) lowers to lax.map over frames —
+    # each frame's kernel already fills the chip.
     c, hd, wd = planes.shape
     nb = table["bstart"].shape[1] - 1
     if wd + nb > 128 or hd + nb > 256:
@@ -271,7 +276,9 @@ def _local_prepare(table_k, px0, py0, hd):
     return px0c, a, ok
 
 
+@jax.custom_batching.sequential_vmap
 def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
+    # sequential_vmap: see _coarse_scores_tpu.
     c, hd, wd = planes.shape
     nb = table_k["bstart"].shape[1] - 1
     w16 = LOCAL_WINDOW
