@@ -364,6 +364,48 @@ def run_chip(out_path):
            "rot_deg_vs_cpu": [round(v, 4) for v in rot_deg],
            "trans_mm_vs_cpu": [round(v, 4) for v in trans_mm]})
 
+    # 6. frame-batched serving on chip: vmap over the fused Recognition
+    # step must lower (sequential_vmap on the Pallas scorers) and detect
+    # in every frame — the parallel.batch_recon per-device path.
+    import cv2
+    from fealess_tpu import pipeline
+
+    bgrs = jnp.asarray(np.stack([bgr, np.roll(bgr, 8, axis=1)]))
+    deps = jnp.asarray(np.stack([depth, np.roll(depth, 8, axis=1)]))
+    fx, fy, cx, cy = np.loadtxt(os.path.join(FIXTURE, "cam.txt"))
+    cam_k = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+    vstep = jax.device_get(jax.jit(jax.vmap(
+        lambda b_, d_: pipeline.recognize_top1(
+            eng.bank, eng._model_depth_dev, eng._origins_dev, b_, d_,
+            cam_k, eng.cfg, kernels=eng._kernels)))(bgrs, deps))
+    check("vmap_batch_recognition",
+          bool(np.all(vstep.valid)),
+          {"frames": 2, "match_x": np.asarray(vstep.match_x).tolist()})
+
+    # 7. shard_map over the Pallas kernels on the TPU backend (1-device
+    # mesh — the per-chip program a real pod runs): top match must equal
+    # the local path.
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu.parallel import mesh as mesh_mod, sharded_match
+
+    det = eng.cfg.detector
+    m1 = mesh_mod.make_mesh([("t", 1)], jax.devices()[:1])
+    sharded = jax.jit(lambda b_, i_, d_: sharded_match.match_bank_sharded(
+        b_, i_, d_, 75.0, det, m1))(eng.bank, jnp.asarray(bgr),
+                                    jnp.asarray(depth))
+    local_m = det_mod.match_bank_jit(eng.bank, jnp.asarray(bgr),
+                                     jnp.asarray(depth), 75.0, det,
+                                     kernels=eng._kernels)
+    st = int(np.argmax(np.asarray(sharded.valid)))
+    lt = int(np.argmax(np.asarray(local_m.valid)))
+    check("shard_map_match_tpu",
+          bool(np.asarray(sharded.valid).any())
+          and np.asarray(sharded.x)[st] == np.asarray(local_m.x)[lt]
+          and np.asarray(sharded.similarity)[st]
+          == np.asarray(local_m.similarity)[lt],
+          {"top_x": int(np.asarray(sharded.x)[st]),
+           "top_sim": float(np.asarray(sharded.similarity)[st])})
+
     report["ok"] = bool(ok_all)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
