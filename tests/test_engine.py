@@ -152,3 +152,28 @@ def test_recognition_roi_mask_gates_search(feature_dir):
     away = np.zeros((H, W), bool)
     away[:32, :48] = True                 # corner without the object
     assert eng.recognition(bgr, depth, cam, roi_mask=away) == []
+
+
+def test_recognition_resized_input(feature_dir):
+    """PrepareInputData (obj_reco_lmicp.cpp:216-259): a camera frame at
+    2x the processing width is resized down and the intrinsics zoomed;
+    the recovered pose must match the native-resolution result."""
+    path, (bgr, depth, mask), _ = feature_dir
+    eng = _engine(feature_dir)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    native = eng.recognition(bgr, depth, cam)
+    assert native
+
+    big_bgr = cv2.resize(bgr, (2 * W, 2 * H))
+    big_depth = cv2.resize(depth, (2 * W, 2 * H),
+                           interpolation=cv2.INTER_NEAREST)
+    big_cam = CamIntrinsics(fx=2 * FX, fy=2 * FY, cx=2 * CX, cy=2 * CY,
+                            width=2 * W, height=2 * H)
+    scaled = eng.recognition(big_bgr, big_depth, big_cam)
+    assert scaled
+    # resampling perturbs the match slightly; pose must stay close
+    r_rel = scaled[0].world2cam[:3, :3] @ native[0].world2cam[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(r_rel) - 1) / 2, -1, 1)))
+    assert ang < 5.0, ang
+    assert np.linalg.norm(scaled[0].world2cam[:3, 3]
+                          - native[0].world2cam[:3, 3]) < 25.0
