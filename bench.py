@@ -283,8 +283,9 @@ def main():
     # The 128t line reuses the first-n slot prefix of the 1024-slot
     # fixture bank; that is only the same workload the C++ baseline ran
     # iff the fixture's views are identical — assert it (ADVICE r2).
-    fx = np.asarray(eng.bank.feat_x)
-    assert np.array_equal(fx[0], fx[500]) and np.array_equal(fx[0], fx[1023]), \
+    feat_x = np.asarray(eng.bank.feat_x)
+    assert (np.array_equal(feat_x[0], feat_x[500])
+            and np.array_equal(feat_x[0], feat_x[1023])), \
         "fixture bank slots differ; 128t prefix slice is not the baseline workload"
 
     class _EmitList(list):

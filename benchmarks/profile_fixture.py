@@ -35,6 +35,8 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 STAGE_FILTER = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 ITERS = 30
 
+det_mod.ALLOW_PROFILE_STOPS = True   # stop-early profiling variants
+
 eng = ObjReco.create("LmICP")
 eng.add_obj(os.path.join(FIXTURE, "features"))
 engine_cfg = eng.cfg
@@ -129,24 +131,6 @@ def coarse(i, b, ops):
     return dep(b, raw)
 
 
-def match_stop_topk(i, b, ops):
-    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
-    planes = det_mod.response_planes(levels, det_cfg)
-    m = det_mod.match_from_planes(ops["bank"], planes, 75.0, det_cfg,
-                                  kernels=ops["tables"],
-                                  profile_stop="topk")
-    return b + ((m.similarity[0] + m.x[0]) < -1e30).astype(jnp.uint8)
-
-
-def match_stop_local(i, b, ops):
-    levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
-    planes = det_mod.response_planes(levels, det_cfg)
-    m = det_mod.match_from_planes(ops["bank"], planes, 75.0, det_cfg,
-                                  kernels=ops["tables"],
-                                  profile_stop="local")
-    return b + ((m.similarity[0] + m.x[0]) < -1e30).astype(jnp.uint8)
-
-
 def _match_stop(stop):
     def fn(i, b, ops):
         levels = det_mod.quantized_pyramid(b, ops["depth"], det_cfg)
@@ -231,10 +215,10 @@ STAGES = [
     ("topk(front+coarse+topk)", topk_stage),
     ("planes_l0(quant+L0planes)", planes_l0),
     ("planes_l1(quant+L1planes)", planes_l1),
-    ("stop_topk(match thru topk)", match_stop_topk),
+    ("stop_topk(match thru topk)", _match_stop("topk")),
     ("stop_gather(+L0p+table gather)", _match_stop("gather")),
     ("stop_kernel(+local kernel)", _match_stop("kernel")),
-    ("stop_local(match thru refine)", match_stop_local),
+    ("stop_local(match thru refine)", _match_stop("local")),
 ]
 
 print(f"n_templates={N}")

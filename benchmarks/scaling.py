@@ -101,7 +101,7 @@ def main(argv=None):
                      jnp.float32)
     bgr_b = jnp.broadcast_to(bgr, (args.batch,) + bgr.shape)
     depth_b = jnp.broadcast_to(depth, (args.batch,) + depth.shape)
-    kernels = det_mod.build_match_kernels(bank, det_cfg)
+    kernels = det_mod.build_match_tables(bank, det_cfg)
     base = None
     for n in [s for s in sizes if args.batch % s == 0]:
         m = mesh_mod.make_mesh([("d", n)], jax.devices()[:n])

@@ -181,6 +181,74 @@ def _kcf_trace(bgr):
     return np.stack(rois)
 
 
+def _oracle_check(eng, d_c, d_0, coarse, local, slots, px0, py0):
+    """Cross-check the production scorers against the INDEPENDENT gather
+    oracle ``fealess_tpu.ops.similarity`` (reference flat-buffer
+    semantics) — the goldens shipped to the chip phase are only trusted
+    once both formulations agree.
+
+    The oracle reproduces the reference's row wraparound while the
+    production scorers zero-pad, so the comparison is restricted to where
+    no feature read wraps: candidate-eligible coarse positions
+    (px <= wd - wf, the only positions the detector may seed from) and
+    interior local windows.
+    """
+    import jax.numpy as jnp
+    from fealess_tpu.ops import similarity as sim_mod
+
+    bank = eng.bank
+    det = eng.cfg.detector
+    l_c = det.pyramid_levels - 1
+    t_c, t0 = det.t_at_level[l_c], det.t_at_level[0]
+    n = bank.capacity
+    mods = bank.feat_x.shape[2]
+    mod_off = 8 * jnp.arange(mods, dtype=jnp.int32)[None, :, None]
+
+    # -- coarse: whole-image oracle over the flat decimated tensor
+    c_ch, hd, wd = d_c.shape
+    p = hd * wd
+    lbl = (bank.feat_label[:, l_c] + mod_off).reshape(n, -1)
+    c_f, off = sim_mod.pack_features(
+        bank.feat_x[:, l_c].reshape(n, -1),
+        bank.feat_y[:, l_c].reshape(n, -1), lbl, t_c, wd)
+    d_flat = jnp.pad(jnp.asarray(d_c).reshape(c_ch, p), ((0, 0), (0, p + 1)))
+    oracle = np.asarray(sim_mod.whole_image_similarity(
+        d_flat, c_f, off, bank.feat_valid[:, l_c].reshape(n, -1),
+        p)).reshape(n, hd, wd)
+    wf = (np.asarray(bank.width[:, l_c]) - 1) // t_c + 1
+    hf = (np.asarray(bank.height[:, l_c]) - 1) // t_c + 1
+    ok_pos = ((np.arange(wd)[None, None, :] <= (wd - wf)[:, None, None])
+              & (np.arange(hd)[None, :, None] <= (hd - hf)[:, None, None]))
+    assert np.array_equal(np.where(ok_pos, oracle, 0),
+                          np.where(ok_pos, coarse, 0)), \
+        "similarity-oracle vs production coarse scorer mismatch"
+
+    # -- local: 16x16 window oracle for non-wrapping candidates
+    c0_ch, hd0, wd0 = d_0.shape
+    p0 = hd0 * wd0
+    stride = p0 + 16 * wd0 + 16
+    d0_flat = jnp.pad(jnp.asarray(d_0).reshape(c0_ch, p0),
+                      ((0, 0), (0, stride - p0))).reshape(-1)
+    fx0 = np.asarray(bank.feat_x[:, 0]).reshape(n, -1)[slots]
+    fy0 = np.asarray(bank.feat_y[:, 0]).reshape(n, -1)[slots]
+    lbl0 = np.asarray((bank.feat_label[:, 0] + mod_off)).reshape(n, -1)[slots]
+    fv0 = np.asarray(bank.feat_valid[:, 0]).reshape(n, -1)[slots]
+    c0, _ = sim_mod.pack_features(jnp.asarray(fx0), jnp.asarray(fy0),
+                                  jnp.asarray(lbl0), t0, wd0)
+    ry, rx = fy0 // t0, fx0 // t0
+    base = (py0[:, None] + ry) * wd0 + (px0[:, None] + rx)
+    interior = (np.max(np.where(fv0, rx, 0), axis=1) + px0 + 16 <= wd0) \
+        & (np.max(np.where(fv0, ry, 0), axis=1) + py0 + 16 <= hd0)
+    assert interior.sum() >= 16, "too few interior local candidates"
+    oracle_l = np.asarray(sim_mod.local_similarity(
+        d0_flat, c0, jnp.asarray(base), jnp.asarray(fv0), stride,
+        wd0)).reshape(-1, 16, 16)
+    assert np.array_equal(oracle_l[interior], local[interior]), \
+        "similarity-oracle vs production local scorer mismatch"
+    print(f"similarity oracle OK: coarse eligible positions + "
+          f"{int(interior.sum())} interior local windows")
+
+
 def run_golden():
     import jax
 
@@ -210,6 +278,8 @@ def run_golden():
     local = np.asarray(score_pallas.local_scores(
         d_0, {k: jnp.asarray(v) for k, v in table_k.items()},
         jnp.asarray(px0), jnp.asarray(py0)))
+
+    _oracle_check(eng, d_c, d_0, coarse, local, slots, px0, py0)
 
     q, r = _refine_clouds(eng, depth)
     nn_idx, nn_d2 = (np.asarray(v) for v in nn_pallas._nn_xla_blocked(
@@ -421,12 +491,12 @@ def main():
         return 0
     if mode == "chip":
         out = sys.argv[2] if len(sys.argv) > 2 else \
-            os.path.join(ROOT, "TPUPARITY_r04.json")
+            os.path.join(ROOT, "TPUPARITY_r05.json")
         return run_chip(out)
     # all: golden in a CPU subprocess, then chip in-process
     subprocess.run([sys.executable, __file__, "golden"], check=True)
     return run_chip(sys.argv[2] if len(sys.argv) > 2 else
-                    os.path.join(ROOT, "TPUPARITY_r04.json"))
+                    os.path.join(ROOT, "TPUPARITY_r05.json"))
 
 
 if __name__ == "__main__":

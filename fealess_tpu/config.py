@@ -86,6 +86,11 @@ class IcpConfig:
     # the origin.  False reproduces that; True is proper Kabsch (faster
     # convergence, better accuracy — the recommended non-parity mode).
     centered_covariance: bool = False
+    # Point-validity depth cap in mm (is_vec3f_valid, ICP/common.cpp:261-266).
+    # The single source of truth for the z<=900 gate: pair statistics
+    # (icp._masked_pair_stats), refine-crop pairing (pipeline.refine_match)
+    # and the sharded ICP reductions all read this field.
+    valid_depth_max_mm: float = 900.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,7 +100,6 @@ class EngineConfig:
     detector: DetectorConfig = DetectorConfig()
     icp: IcpConfig = IcpConfig()
     matching_threshold: float = 75.0        # percent, obj_reco_lmicp.cpp:53
-    valid_depth_max_mm: float = 900.0       # is_vec3f_valid cap, common.cpp:264
     # Hard-coded template-rendering intrinsics (ICP/common.cpp:326-372).
     template_fx: float = 608.0
     template_fy: float = 608.0
@@ -110,6 +114,12 @@ class EngineConfig:
     # Static refine-window side (must cover the largest template bbox and
     # fit inside the processed image).
     refine_crop: int = 256
+
+    @property
+    def valid_depth_max_mm(self) -> float:
+        """Alias of ``icp.valid_depth_max_mm`` (the single source of
+        truth); configure the cap there."""
+        return self.icp.valid_depth_max_mm
 
 
 @dataclasses.dataclass(frozen=True)

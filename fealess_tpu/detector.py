@@ -196,9 +196,11 @@ def build_match_tables(bank: TemplateBank, det: cfg.DetectorConfig,
     return tuple(tables)
 
 
-# Backwards-compatible name (the tables replaced the r1/r2 one-hot conv
-# kernels; callers thread them through the same ``kernels=`` kwarg).
-build_match_kernels = build_match_tables
+# Benchmark-only gate for ``match_from_planes(profile_stop=...)``: the
+# stop-early variants return Matches with deliberately polluted similarity
+# (they exist to time pipeline prefixes) and must never run in production.
+# benchmarks/profile_fixture.py flips this before profiling.
+ALLOW_PROFILE_STOPS = False
 
 
 def exact_top_k_rows(flat: jax.Array, k: int, rows: int):
@@ -243,7 +245,7 @@ def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
 
 def match_from_planes(bank: TemplateBank, planes, threshold: float,
                       det: cfg.DetectorConfig, kernels=None,
-                      class_mask=None, profile_stop=None) -> Matches:
+                      class_mask=None, *, profile_stop=None) -> Matches:
     """Score the bank against decimated response planes.
 
     The coarse level computes all-template, all-position scores with the
@@ -263,6 +265,11 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
     the reference's flat-buffer reads there (tested), and out-of-bounds
     features at degenerate clamps are discarded like similarityLocal's
     per-feature bounds checks (linemod.cpp:1257-1258)."""
+    if profile_stop is not None and not ALLOW_PROFILE_STOPS:
+        raise ValueError(
+            "profile_stop is a benchmark-only hook (its stop-early returns "
+            "carry polluted similarity); set detector.ALLOW_PROFILE_STOPS "
+            "from a profiling harness to use it")
     l_coarse = det.pyramid_levels - 1
     t_c = det.t_at_level[l_coarse]
     d_c, (h_c, w_c) = planes[l_coarse]

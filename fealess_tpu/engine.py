@@ -66,8 +66,11 @@ class ObjReco:
     def __init__(self, engine_cfg: Optional[cfg.EngineConfig] = None):
         self.cfg = engine_cfg or cfg.EngineConfig()
         self.bank: Optional[TemplateBank] = None
+        # per-object state; clear_obj() is the single reset point
         self._kernels = None
         self._model_depth: Optional[np.ndarray] = None   # (N, CROP, CROP) u16 mm
+        self._model_depth_dev = None
+        self._origins_dev = None
         self._depth_origin: dict = {}                    # slot -> crop origin
         self._feature_path = ""
 
@@ -85,11 +88,26 @@ class ObjReco:
     def get_version() -> str:
         return "fealess-tpu-0.1.0"
 
+    def clear_obj(self) -> None:
+        """Drop the loaded bank and every per-object cache (the reference's
+        ClearObj is a ``return 0`` stub, obj_reco_lmicp.cpp:77-80; here it
+        actually resets, and ``add_obj`` calls it first so re-adding can
+        never leak the previous bank's depth crops/origins/kernels)."""
+        self.bank = None
+        self._kernels = None
+        self._model_depth = None
+        self._model_depth_dev = None
+        self._origins_dev = None
+        self._depth_origin = {}
+        self._feature_path = ""
+
     def add_obj(self, feature_path: str) -> None:
         """Load ``<dir>/linemod_templates.yml`` and per-template model
         depths ``<dir>/depth/<tid>.png`` (AddObj, obj_reco_lmicp.cpp:67-74;
         depth load obj_reco_lmicp.cpp:156-188).  Depth pngs are stored in
-        0.1mm units and converted to u16 mm here."""
+        0.1mm units and converted to u16 mm here.  Replaces any previously
+        loaded object (state is cleared first; see :meth:`clear_obj`)."""
+        self.clear_obj()
         self._feature_path = feature_path
         yml = os.path.join(feature_path, "linemod_templates.yml")
         det_cfg, classes = linemod_yaml.load_linemod(yml)

@@ -37,7 +37,9 @@ from fealess_tpu import config as cfg
 from fealess_tpu.geometry import transforms as tf
 
 PAD_COORD = 1.0e9      # padded rows live here: never a nearest neighbour
-VALID_Z_MAX = 900.0    # is_vec3f_valid cap (ICP/common.cpp:261-266)
+# The z-validity cap (is_vec3f_valid, ICP/common.cpp:261-266) is the
+# IcpConfig.valid_depth_max_mm field — no module constant, so the knob
+# cannot silently diverge from the behaviour.
 
 
 @struct.dataclass
@@ -79,11 +81,13 @@ def nearest_neighbor(query: jax.Array, ref: jax.Array):
     return nn_pallas._nn_xla_blocked(query, ref)
 
 
-def _masked_pair_stats(model, ref, pair_mask, dist_thr):
-    """getL2distClouds (ICP.cpp:68-111): index-paired distances with z<=900
-    validity on both sides and an inlier distance gate."""
-    valid = (pair_mask & (ref[:, 2] <= VALID_Z_MAX)
-             & (model[:, 2] <= VALID_Z_MAX))
+def _masked_pair_stats(model, ref, pair_mask, dist_thr,
+                       z_max: float = 900.0):
+    """getL2distClouds (ICP.cpp:68-111): index-paired distances with
+    z<=z_max validity on both sides (IcpConfig.valid_depth_max_mm) and an
+    inlier distance gate."""
+    valid = (pair_mask & (ref[:, 2] <= z_max)
+             & (model[:, 2] <= z_max))
     dist = jnp.linalg.norm(model - ref, axis=1)
     inlier = valid & (dist <= dist_thr)
     n_inlier = jnp.sum(inlier)
@@ -106,7 +110,9 @@ def icp_point_to_point(ref: jax.Array, model: jax.Array,
     n_pairs = jnp.sum(pair_mask)
     ok = n_pairs >= icp.min_points
 
-    dist_mean0, ratio0 = _masked_pair_stats(model, ref, pair_mask, fmax)
+    zmax = icp.valid_depth_max_mm
+    dist_mean0, ratio0 = _masked_pair_stats(model, ref, pair_mask, fmax,
+                                            zmax)
 
     def cond(state):
         it, _, _, _, dist_mean, dist_diff, _ = state
@@ -153,7 +159,7 @@ def icp_point_to_point(ref: jax.Array, model: jax.Array,
         new_model = model_tmp @ r_opt.T + t_opt
         thr = 3.0 * dist_mean
         new_dist, new_ratio = _masked_pair_stats(new_model, ref, pair_mask,
-                                                 thr)
+                                                 thr, zmax)
         new_diff = dist_mean - new_dist
 
         model_tmp = jnp.where(do_update, new_model, model_tmp)
@@ -207,7 +213,9 @@ def icp_point_to_plane(ref: jax.Array, ref_normals: jax.Array,
     ok = n_pairs >= icp.min_points
     normal_ok_ref = jnp.sum(ref_normals * ref_normals, axis=1) > 0.25
 
-    dist_mean0, ratio0 = _masked_pair_stats(model, ref, pair_mask, fmax)
+    zmax = icp.valid_depth_max_mm
+    dist_mean0, ratio0 = _masked_pair_stats(model, ref, pair_mask, fmax,
+                                            zmax)
 
     def cond(state):
         it, _, _, _, dist_mean, dist_diff, _ = state
@@ -263,7 +271,7 @@ def icp_point_to_plane(ref: jax.Array, ref_normals: jax.Array,
         new_model = model_tmp @ r_opt.T + t_opt
         thr = 3.0 * dist_mean
         new_dist, new_ratio = _masked_pair_stats(new_model, ref, pair_mask,
-                                                 thr)
+                                                 thr, zmax)
         new_diff = dist_mean - new_dist
 
         model_tmp = jnp.where(do_update, new_model, model_tmp)

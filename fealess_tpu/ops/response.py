@@ -236,6 +236,10 @@ def _build_level_2d_mxu(quantized: jax.Array, t: int) -> jax.Array:
     GMAC/modality at level 0, ~free on the MXU (front-end + local kernel
     0.22 ms vs 2.26 ms before)."""
     h, w = quantized.shape
+    # partial tiles would route a short selector column into the next
+    # residue group's slice and silently corrupt planes — enforce the
+    # same invariant the CPU path asserts in decimate_quant
+    assert h % t == 0 and w % t == 0, (h, w, t)
     hd, wd = h // t, w // t
     sp = spread(quantized.astype(jnp.int32), t)
     resp = _response_stack_i32(sp)                     # (8, h, w)

@@ -14,6 +14,14 @@ reference's flat-buffer wraparound at row ends (similarity() allows the
 template to wrap left/right and later filters those candidates;
 linemod.cpp:1152-1156).  All shapes are static; features are padded to a
 fixed F with a validity mask.
+
+Role: this module is the INDEPENDENT ORACLE for the production scorers.
+It shares no code with ``ops.score_pallas`` (gather formulation here,
+bucketed slice-accumulation there) and is consumed by the verification
+harness ``benchmarks/tpu_parity.py`` (golden phase asserts both agree on
+every non-wrapping position before goldens ship to the chip checks) and
+by ``tests/test_response.py``.  It is NOT a serving path: XLA gathers
+lower to scalar loops on TPU (~330 ms/frame measured).
 """
 
 from __future__ import annotations

@@ -44,8 +44,8 @@ def icp_sharded(ref: jax.Array, model: jax.Array, pair_mask: jax.Array,
         return jax.lax.psum(x, axis)
 
     def pair_stats(model_s, ref_s, mask_s, dist_thr):
-        valid = (mask_s & (ref_s[:, 2] <= icp_mod.VALID_Z_MAX)
-                 & (model_s[:, 2] <= icp_mod.VALID_Z_MAX))
+        valid = (mask_s & (ref_s[:, 2] <= icp.valid_depth_max_mm)
+                 & (model_s[:, 2] <= icp.valid_depth_max_mm))
         dist = jnp.linalg.norm(model_s - ref_s, axis=1)
         inlier = valid & (dist <= dist_thr)
         n_inlier = psum(jnp.sum(inlier))
@@ -161,8 +161,8 @@ def icp_plane_sharded(ref: jax.Array, ref_normals: jax.Array,
         return jax.lax.psum(x, axis)
 
     def pair_stats(model_s, ref_s, mask_s, dist_thr):
-        valid = (mask_s & (ref_s[:, 2] <= icp_mod.VALID_Z_MAX)
-                 & (model_s[:, 2] <= icp_mod.VALID_Z_MAX))
+        valid = (mask_s & (ref_s[:, 2] <= icp.valid_depth_max_mm)
+                 & (model_s[:, 2] <= icp.valid_depth_max_mm))
         dist = jnp.linalg.norm(model_s - ref_s, axis=1)
         inlier = valid & (dist <= dist_thr)
         n_inlier = psum(jnp.sum(inlier))

@@ -96,8 +96,9 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
     uu = jnp.arange(crop_w)[None, :]
     vv = jnp.arange(crop_h)[:, None]
     in_rect = (uu < rect_w) & (vv < rect_h)
-    z_ok = ((model_pts[..., 2] <= icp_mod.VALID_Z_MAX)
-            & (ref_pts[..., 2] <= icp_mod.VALID_Z_MAX))   # NaN -> False
+    z_max = engine.icp.valid_depth_max_mm
+    z_ok = ((model_pts[..., 2] <= z_max)
+            & (ref_pts[..., 2] <= z_max))   # NaN -> False
     pair_mask = (in_rect & z_ok).reshape(-1)
 
     model_flat = model_pts.reshape(-1, 3)

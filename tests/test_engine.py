@@ -2,6 +2,7 @@
 add_obj -> recognition -> pose (the full CObjRecoLmICP loop on a synthetic
 scene, SURVEY.md §3.2)."""
 
+import dataclasses
 import os
 
 import cv2
@@ -177,3 +178,110 @@ def test_recognition_resized_input(feature_dir):
     assert ang < 5.0, ang
     assert np.linalg.norm(scaled[0].world2cam[:3, 3]
                           - native[0].world2cam[:3, 3]) < 25.0
+
+
+@pytest.fixture(scope="module")
+def feature_dir2(tmp_path_factory):
+    """A second, distinguishable object dir (scene shifted; 2 views) for
+    re-add/clear tests and the max_templates capacity knob."""
+    rng = np.random.default_rng(11)
+    bgr, depth, mask = make_scene(rng)
+    bgr = np.roll(bgr, 10, axis=1)
+    depth = np.roll(depth, 10, axis=1)
+    mask = np.roll(mask, 10, axis=1)
+    det_cfg = cfg.DetectorConfig(image_width=W, image_height=H,
+                                 max_candidates=16)
+    pose = np.zeros(13, np.float32)
+    pose[0] = pose[5] = pose[10] = 1.0
+    view = training.add_template(bgr, depth, mask, pose, det_cfg)
+    assert view is not None
+    d = tmp_path_factory.mktemp("features2")
+    linemod_yaml.save_linemod(str(d / "linemod_templates.yml"), det_cfg,
+                              {"obj2": [view, view]})
+    os.makedirs(d / "depth", exist_ok=True)
+    png = (depth.astype(np.uint32) * 10).astype(np.uint16)
+    cv2.imwrite(str(d / "depth" / "0.png"), png)
+    cv2.imwrite(str(d / "depth" / "1.png"), png)
+    return str(d), (bgr, depth, mask)
+
+
+def test_clear_obj_and_readd(feature_dir, feature_dir2):
+    """Re-adding a bank must not leak the previous object's depth-crop
+    origins/kernels (VERDICT r4 missing#2), and clear_obj fully resets."""
+    path1, (bgr1, depth1, _), _ = feature_dir
+    path2, (bgr2, depth2, _) = feature_dir2
+    eng = _engine(feature_dir)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    assert eng.recognition(bgr1, depth1, cam)
+
+    origins_1 = dict(eng._depth_origin)
+    eng.add_obj(path2)                      # re-add a DIFFERENT object
+    assert eng.bank.class_names == ("obj2",)
+    # no slot origin survived from the first bank
+    assert set(eng._depth_origin) <= set(range(eng.bank.capacity))
+    assert eng._depth_origin != origins_1 or \
+        list(eng._depth_origin.values()) != list(origins_1.values())
+    res2 = eng.recognition(bgr2, depth2, cam)
+    assert res2 and res2[0].obj_tag == "obj2"
+
+    eng.clear_obj()
+    assert eng.bank is None and eng._model_depth is None
+    with pytest.raises(RuntimeError):
+        eng.recognition(bgr2, depth2, cam)
+
+
+def test_engine_knob_max_templates(feature_dir2):
+    path2, _ = feature_dir2
+    ecfg = cfg.EngineConfig(
+        detector=cfg.DetectorConfig(image_width=W, image_height=H,
+                                    max_candidates=16, max_templates=1),
+        refine_crop=128)
+    eng = ObjReco.create("LmICP", ecfg)
+    with pytest.raises(ValueError):         # 2 views > max_templates cap
+        eng.add_obj(path2)
+    eng2 = ObjReco.create("LmICP", cfg.EngineConfig(
+        detector=cfg.DetectorConfig(image_width=W, image_height=H,
+                                    max_candidates=16), refine_crop=128))
+    eng2.add_obj(path2)
+    assert eng2.bank.capacity == 8          # rounded up to the block
+
+
+def test_engine_knob_refine_crop_and_depth_scale(feature_dir):
+    path, _, _ = feature_dir
+    base = cfg.EngineConfig(
+        detector=cfg.DetectorConfig(image_width=W, image_height=H,
+                                    max_candidates=16),
+        template_fx=FX, template_fy=FY, template_cx=CX, template_cy=CY)
+    eng_a = ObjReco.create("LmICP", dataclasses.replace(
+        base, refine_crop=96))
+    eng_a.add_obj(path)
+    assert eng_a._model_depth.shape[1:] == (96, 96)
+    eng_b = ObjReco.create("LmICP", dataclasses.replace(
+        base, refine_crop=96, model_depth_scale=1.0))
+    eng_b.add_obj(path)
+    # x10 depth values under scale 1.0 vs 0.1
+    a = eng_a._model_depth[eng_a._model_depth > 0]
+    b = eng_b._model_depth[eng_b._model_depth > 0]
+    assert b.mean() > 5 * a.mean()
+
+
+def test_engine_knob_template_intrinsics(feature_dir):
+    path, (bgr, depth, _), _ = feature_dir
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    eng = _engine(feature_dir)
+    pose_a = eng.recognition(bgr, depth, cam)[0].world2cam
+    ecfg = dataclasses.replace(eng.cfg, template_fx=300.0,
+                               template_fy=300.0)
+    eng_b = ObjReco.create("LmICP", ecfg)
+    eng_b.add_obj(path)
+    pose_b = eng_b.recognition(bgr, depth, cam)[0].world2cam
+    assert not np.allclose(pose_a[:3, 3], pose_b[:3, 3], atol=1.0)
+
+
+def test_engine_knob_max_objects(feature_dir):
+    path, (bgr, depth, _), _ = feature_dir
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    eng = _engine(feature_dir)
+    eng.set_advanced_param("max_objects", 2)
+    res = eng.recognition_multi(bgr, depth, cam)
+    assert len(res) <= 2 and res
