@@ -3,7 +3,7 @@
 Runs BOTH engines — the unmodified C++ reference (ref_series) and
 fealess_tpu's ObjReco — over the identical multi-view bank and 32-frame
 test sequence (make_sequence.py), computes the ADD metric per frame
-against the rendered ground-truth poses, and writes PARITY_r04.json at
+against the rendered ground-truth poses, and writes PARITY_r05.json at
 the repo root:
 
   ADD(R^, t^) = mean_p || (R^ p + t^) - (R p + t) ||   over model points
@@ -62,7 +62,7 @@ def run_reference(exe, seq, n):
     return poses, float(np.mean(ms))
 
 
-def run_fealess(seq, n):
+def run_fealess(seq, n, icp_mode="point_to_point"):
     import jax
 
     if jax.config.jax_platforms != "cpu":
@@ -74,6 +74,7 @@ def run_fealess(seq, n):
     fx, fy, cx, cy = np.loadtxt(os.path.join(seq, "cam.txt"))
     eng = ObjReco.create("LmICP")
     eng.add_obj(os.path.join(seq, "features"))
+    eng.set_advanced_param("icp_mode", icp_mode)
     cam = CamIntrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=640, height=480)
     poses = {}
     for i in range(n):
@@ -83,7 +84,7 @@ def run_fealess(seq, n):
         res = eng.recognition(bgr, depth, cam)
         if res:
             poses[i] = res[0].world2cam.astype(np.float32)
-        print(f"  fealess frame {i}: "
+        print(f"  fealess[{icp_mode}] frame {i}: "
               f"{'ok' if res else 'no detection'}", flush=True)
     return poses
 
@@ -109,6 +110,7 @@ def main():
     exe = build_ref()
     ref_poses, ref_ms = run_reference(exe, args.seq, n)
     tpu_poses = run_fealess(args.seq, n)
+    plane_poses = run_fealess(args.seq, n, icp_mode="point_to_plane")
 
     def stats(poses):
         errs = {i: add_error(poses[i], gts[i], pts) for i in poses}
@@ -117,6 +119,7 @@ def main():
 
     ref_rate, ref_errs = stats(ref_poses)
     tpu_rate, tpu_errs = stats(tpu_poses)
+    pl_rate, pl_errs = stats(plane_poses)
 
     summary = {
         "frames": n,
@@ -131,8 +134,13 @@ def main():
         "fealess_mean_add_mm": round(
             float(np.mean(list(tpu_errs.values()))), 3) if tpu_errs else None,
         "ref_ms_per_frame": round(ref_ms, 2),
+        # point-to-plane (the TPU perf path; no reference counterpart)
+        "plane_pass_rate": round(pl_rate, 4),
+        "plane_detections": len(plane_poses),
+        "plane_mean_add_mm": round(
+            float(np.mean(list(pl_errs.values()))), 3) if pl_errs else None,
     }
-    out = os.path.join(REPO, "PARITY_r04.json")
+    out = os.path.join(REPO, "PARITY_r05.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

@@ -76,11 +76,31 @@ class IcpConfig:
     # True reproduces that behaviour bit-for-bit; False applies the gate to
     # the unsquared distance (the presumably intended semantics).
     squared_distance_gate: bool = True
-    # "point_to_point" = Kabsch/SVD exactly as the reference (ICP.cpp:730-744);
-    # "point_to_plane" = 6x6 Gauss-Newton normal equations (TPU perf path).
-    mode: str = "point_to_point"
+    # "point_to_point" = Kabsch/SVD exactly as the reference (ICP.cpp:730-744,
+    #   the parity mode — benchmarks/reference/run_parity.py pins it against
+    #   the compiled C++ engine);
+    # "point_to_plane" = 6x6 Gauss-Newton normal equations — the TPU
+    #   performance path and the PRODUCTION DEFAULT: on the rendered
+    #   32-frame parity sequence it reaches 0.28 mm mean ADD vs 3.40 mm
+    #   for point mode (both 32/32 pass, PARITY_r05.json).
+    mode: str = "point_to_plane"
     # Relative Tikhonov damping on the 6x6 GN system (point_to_plane only).
     plane_damping: float = 1e-6
+    # Weight of the point-to-point anchor blended into the point-to-plane
+    # normal equations (H = H_plane + blend*H_point) — a mild regularizer
+    # for noisy normals (0 disables).  Swept on the parity sequence:
+    # 0.00 -> 0.20 mm, 0.01 -> 0.23 mm, 0.05 -> 0.31 mm mean ADD.
+    plane_point_blend: float = 0.01
+    # Plane-degeneracy gate: point-to-plane on a (near-)planar object has
+    # a rotate-and-slide null space and converges to wrong minima that no
+    # anchor weight fixes (measured: 2.5 deg / 30 mm on a flat textured
+    # box vs 0.8 deg for Kabsch).  The loop therefore measures the
+    # normal-scatter anisotropy lambda1/lambda2 of eigvals(sum n n^T)
+    # once per refine: below this threshold every iteration uses the
+    # Kabsch (point) update instead of the plane GN step.  Measured
+    # statistic: 0.87 on the rendered mesh sequence (plane GN: 0.28 mm
+    # mean ADD), ~0.03 on the flat box (Kabsch selected).
+    plane_min_normal_anisotropy: float = 0.15
     # The reference accumulates the covariance WITHOUT subtracting centroids
     # (ICP.cpp:730-735), which biases the rotation when clouds sit far from
     # the origin.  False reproduces that; True is proper Kabsch (faster

@@ -179,6 +179,16 @@ def icp_plane_sharded(ref: jax.Array, ref_normals: jax.Array,
         n_pairs = psum(jnp.sum(mask_s))
         ok = n_pairs >= icp.min_points
         normal_ok = jnp.sum(norm_s * norm_s, axis=1) > 0.25
+        # plane-degeneracy gate (see icp.icp_point_to_plane): psum'd
+        # normal scatter, replicated eigensolve
+        nmask = (mask_s & normal_ok
+                 & (ref_s[:, 2] <= icp.valid_depth_max_mm))
+        nw_g = nmask.astype(jnp.float32)[:, None]
+        scatter = psum(jnp.matmul((norm_s * nw_g).T, norm_s * nw_g,
+                                  precision=hi))
+        scatter = scatter / jnp.maximum(psum(jnp.sum(nw_g)), 1.0)
+        evals = jnp.linalg.eigvalsh(scatter)
+        plane_ok = evals[1] > icp.plane_min_normal_anisotropy * evals[2]
         dist_mean0, ratio0 = pair_stats(model_s, ref_s, mask_s, fmax)
 
         def cond(state):
@@ -218,13 +228,50 @@ def icp_plane_sharded(ref: jax.Array, ref_normals: jax.Array,
             h = psum(jnp.matmul(jw.T, jw, precision=hi))
             g = psum(jnp.matmul(jw.T, (resid * cor_mask)[:, None],
                                 precision=hi)[:, 0])
+            if icp.plane_point_blend > 0.0:
+                # point-to-point anchor (see icp.icp_point_to_plane):
+                # per-shard partial H/g, psum'd like the plane block
+                mc = model_tmp - centroid
+                zeros = jnp.zeros_like(mc[:, 0])
+                skew_neg = jnp.stack([
+                    jnp.stack([zeros, mc[:, 2], -mc[:, 1]], axis=1),
+                    jnp.stack([-mc[:, 2], zeros, mc[:, 0]], axis=1),
+                    jnp.stack([mc[:, 1], -mc[:, 0], zeros], axis=1)],
+                    axis=1)
+                eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                        skew_neg.shape)
+                j3 = jnp.concatenate([skew_neg, eye3], axis=2)
+                j3w = (j3 * w[:, :, None]).reshape(-1, 6)
+                r3 = ((model_tmp - cor_ref) * w).reshape(-1, 1)
+                lam = jnp.float32(icp.plane_point_blend)
+                h = h + lam * psum(jnp.matmul(j3w.T, j3w, precision=hi))
+                g = g + lam * psum(jnp.matmul(j3w.T, r3,
+                                              precision=hi)[:, 0])
             damp = icp.plane_damping * jnp.diag(jnp.maximum(jnp.diag(h),
                                                             1.0))
             delta = jnp.linalg.solve(h + damp, -g)
             omega, u = delta[:3], delta[3:]
-            r_opt = tf.so3_exp(omega)
-            t_opt = u + centroid - r_opt @ centroid
-            finite = jnp.all(jnp.isfinite(delta))
+            r_gn = tf.so3_exp(omega)
+            t_gn = u + centroid - r_gn @ centroid
+            # Kabsch update for the degenerate gate (psum'd covariance;
+            # non-centered like the point mode's default — full-rank
+            # even on planar clouds)
+            r_centroid = psum(jnp.sum(cor_ref * w, axis=0)) / n_cor
+            if icp.centered_covariance:
+                cov = psum(jnp.matmul(((model_tmp - centroid) * w).T,
+                                      (cor_ref - r_centroid) * w,
+                                      precision=hi))
+            else:
+                cov = psum(jnp.matmul((model_tmp * w).T, cor_ref * w,
+                                      precision=hi))
+            uu, _, vt = jnp.linalg.svd(cov)
+            r_kb = vt.T @ uu.T
+            t_kb = r_centroid - r_kb @ centroid
+            r_opt = jnp.where(plane_ok, r_gn, r_kb)
+            t_opt = jnp.where(plane_ok, t_gn, t_kb)
+            finite = jnp.where(plane_ok, jnp.all(jnp.isfinite(delta)),
+                               jnp.all(jnp.isfinite(r_kb))
+                               & jnp.all(jnp.isfinite(t_kb)))
             do_update = enough & finite
             r_opt = jnp.where(do_update, r_opt, jnp.eye(3))
             t_opt = jnp.where(do_update, t_opt, jnp.zeros(3))

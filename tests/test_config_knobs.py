@@ -240,27 +240,65 @@ def test_icp_valid_depth_max_mm():
 
 def test_icp_mode_dispatch():
     ref, model, mask = _cloud_pair()
+    # the production default is point_to_plane -> normals are required
+    assert cfg.IcpConfig().mode == "point_to_plane"
     with pytest.raises(ValueError):
-        icp_mod.icp_refine(ref, model, mask,
-                           cfg.IcpConfig(mode="point_to_plane"))
-    normals = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (ref.shape[0], 1))
+        icp_mod.icp_refine(ref, model, mask, cfg.IcpConfig())
+    rngn = np.random.default_rng(5)
+    nrm = rngn.normal(size=(ref.shape[0], 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
     a = icp_mod.icp_refine(ref, model, mask,
-                           cfg.IcpConfig(mode="point_to_plane"),
-                           ref_normals=normals)
-    b = icp_mod.icp_refine(ref, model, mask, cfg.IcpConfig())
+                           cfg.IcpConfig(max_iterations=1),
+                           ref_normals=jnp.asarray(nrm))
+    b = icp_mod.icp_refine(ref, model, mask,
+                           cfg.IcpConfig(mode="point_to_point",
+                                         max_iterations=1))
     assert not np.allclose(np.asarray(a.r), np.asarray(b.r))
+
+
+def test_icp_plane_degeneracy_gate():
+    """Constant normals (planar scene) must flip the loop to Kabsch
+    updates; forcing the gate off must change the result."""
+    ref, model, mask = _cloud_pair()
+    normals = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (ref.shape[0], 1))
+    gated = icp_mod.icp_point_to_plane(
+        ref, normals, model, mask, cfg.IcpConfig(max_iterations=1))
+    forced = icp_mod.icp_point_to_plane(
+        ref, normals, model, mask,
+        cfg.IcpConfig(max_iterations=1, plane_min_normal_anisotropy=-1.0))
+    point = icp_mod.icp_point_to_point(
+        ref, model, mask, cfg.IcpConfig(max_iterations=1))
+    # the gated run selects Kabsch -> matches the point mode's alignment
+    np.testing.assert_allclose(np.asarray(gated.r), np.asarray(point.r),
+                               atol=1e-4)
+    assert not np.allclose(np.asarray(forced.r), np.asarray(gated.r))
 
 
 def test_icp_plane_damping():
     ref, model, mask = _cloud_pair()
-    normals = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (ref.shape[0], 1))
+    rngn = np.random.default_rng(5)
+    nrm = rngn.normal(size=(ref.shape[0], 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
     a = icp_mod.icp_point_to_plane(
-        ref, normals, model, mask,
-        cfg.IcpConfig(mode="point_to_plane", max_iterations=1))
+        ref, jnp.asarray(nrm), model, mask,
+        cfg.IcpConfig(max_iterations=1))
     b = icp_mod.icp_point_to_plane(
-        ref, normals, model, mask,
-        cfg.IcpConfig(mode="point_to_plane", max_iterations=1,
-                      plane_damping=10.0))
+        ref, jnp.asarray(nrm), model, mask,
+        cfg.IcpConfig(max_iterations=1, plane_damping=10.0))
+    assert not np.allclose(np.asarray(a.t), np.asarray(b.t))
+
+
+def test_icp_plane_point_blend():
+    ref, model, mask = _cloud_pair()
+    rngn = np.random.default_rng(5)
+    nrm = rngn.normal(size=(ref.shape[0], 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    a = icp_mod.icp_point_to_plane(
+        ref, jnp.asarray(nrm), model, mask,
+        cfg.IcpConfig(max_iterations=1, plane_point_blend=0.0))
+    b = icp_mod.icp_point_to_plane(
+        ref, jnp.asarray(nrm), model, mask,
+        cfg.IcpConfig(max_iterations=1, plane_point_blend=5.0))
     assert not np.allclose(np.asarray(a.t), np.asarray(b.t))
 
 
