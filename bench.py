@@ -250,6 +250,66 @@ def _bench_multi(lines, eng, bgr, depth, scene_k):
     })
 
 
+def _bench_wide(lines):
+    """Wide-geometry config: full Recognition at 1280x960 (the wide
+    fixture of benchmarks/tpu_parity.py — 2x the 640x480 scene, same
+    physical geometry) on a 128-slot bank.  The reference CANNOT serve
+    this: PrepareInputData hard-downsizes every input to 640 wide
+    (obj_reco_lmicp.cpp:216-259), so vs_baseline compares against its
+    640-wide 128t figure while this config processes 4x the pixels."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.tpu_parity import _wide_fixture
+    from fealess_tpu import config as fcfg
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu import pipeline
+    from fealess_tpu.engine import ObjReco
+
+    wdir, bgr_np, depth_np = _wide_fixture()
+    fx, fy, cx, cy = np.loadtxt(os.path.join(FIXTURE, "cam.txt"))
+    scene_k = jnp.asarray([[2 * fx, 0, 2 * cx], [0, 2 * fy, 2 * cy],
+                           [0, 0, 1]], jnp.float32)
+    eng = ObjReco.create("LmICP", fcfg.EngineConfig(
+        detector=fcfg.DetectorConfig(image_width=1280, image_height=960,
+                                     max_candidates=64),
+        template_fx=2 * fx, template_fy=2 * fy,
+        template_cx=2 * cx, template_cy=2 * cy))
+    eng.add_obj(os.path.join(wdir, "features"))
+    n = 128
+    bank = jax.tree.map(
+        lambda a: (jnp.broadcast_to(a[:1], (n,) + a.shape[1:])
+                   if hasattr(a, "shape") and a.shape[:1] == (1,) else a),
+        eng.bank)
+    bank = bank.replace(template_idx=jnp.arange(n, dtype=jnp.int32))
+    md = jnp.broadcast_to(eng._model_depth_dev[:1],
+                          (n,) + eng._model_depth_dev.shape[1:])
+    org = jnp.broadcast_to(eng._origins_dev[:1], (n, 2))
+    kern = det_mod.build_match_tables(bank, eng.cfg.detector)
+    ecfg = eng.cfg
+    depth = jnp.asarray(depth_np)
+
+    @jax.jit
+    def chain(b, steps, bank, md, org, kern, d, k):
+        def body(i, bb):
+            step = pipeline.recognize_top1(bank, md, org, bb, d, k, ecfg,
+                                           kernels=kern)
+            return bb + ((step.pose.sum() + step.similarity)
+                         < -1e30).astype(jnp.uint8)
+        return jax.lax.fori_loop(0, steps, body, b)
+
+    fps = _chain_fps(lambda b, nn: chain(b, nn, bank, md, org, kern,
+                                         depth, scene_k),
+                     jnp.asarray(bgr_np))
+    lines.append({
+        "metric": "e2e_recognition_fps_1280x960_128t_wide",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS[128], 2),
+    })
+
+
 def main():
     import cv2
     import jax
@@ -300,21 +360,30 @@ def main():
     _bench_series_recon(lines)                       # config 2
     _bench_tracked(lines, eng, bgr_np, depth, scene_k)   # config 3
     _bench_multi(lines, eng, bgr, depth, scene_k)    # multi-object serve
-    for n in (128, 1024):                            # config 1 (+4's point)
+    _bench_wide(lines)                               # 1280x960 serving
+    # config 1 (+4's operating point): ICP modes x bank sizes; the
+    # plane-mode (production default) 1024t line prints LAST = headline.
+    import dataclasses as _dc
+    point_cfg = _dc.replace(engine_cfg, icp=_dc.replace(
+        engine_cfg.icp, mode="point_to_point"))
+    runs = [(128, engine_cfg, ""), (1024, point_cfg, "_point_icp"),
+            (1024, engine_cfg, "")]
+    for n, run_cfg, tag in runs:
         bank, model_depth, origins = _slice_bank(
             eng.bank, full_model_depth, full_origins, n)
         kernels = jax.block_until_ready(
-            det_mod.build_match_tables(bank, engine_cfg.detector))
+            det_mod.build_match_tables(bank, run_cfg.detector))
 
         @jax.jit
-        def chain(b, steps, bank, model_depth, origins, kernels, d, k):
+        def chain(b, steps, bank, model_depth, origins, kernels, d, k,
+                  run_cfg=run_cfg):
             # big arrays ride in as arguments, NOT as closure constants:
             # baked-in constants ship inside the compile request and
             # overflow the TPU tunnel's body limit.
             def body(i, bb):
                 step = pipeline.recognize_top1(
                     bank, model_depth, origins, bb, d, k,
-                    engine_cfg, kernels=kernels)
+                    run_cfg, kernels=kernels)
                 # data dependency on the FULL result including the refined
                 # pose; depending on similarity alone lets XLA dead-code
                 # the ICP refine stage out of the chain.  Never fires.
@@ -326,7 +395,7 @@ def main():
             lambda b, n: chain(b, n, bank, model_depth, origins,
                                kernels, depth, scene_k), bgr)
         lines.append({
-            "metric": f"e2e_recognition_fps_640x480_{n}t_fixture",
+            "metric": f"e2e_recognition_fps_640x480_{n}t_fixture{tag}",
             "value": round(fps, 2),
             "unit": "frames/s/chip",
             "vs_baseline": round(fps / BASELINE_FPS[n], 2),

@@ -249,6 +249,74 @@ def _oracle_check(eng, d_c, d_0, coarse, local, slots, px0, py0):
           f"{int(interior.sum())} interior local windows")
 
 
+def _wide_fixture():
+    """A 1280x960 serving fixture: the 640x480 fixture scene upscaled 2x
+    (same physical geometry, 2x intrinsics) with one template trained at
+    the wide processing scale.  Created once under reference/out/wide."""
+    import cv2
+
+    wdir = os.path.join(FIXTURE, "wide")
+    frame_bgr = os.path.join(wdir, "scene_bgr.png")
+    if not os.path.exists(os.path.join(wdir, "features",
+                                       "linemod_templates.yml")):
+        from fealess_tpu import config as cfg
+        from fealess_tpu import training
+        from fealess_tpu.io import linemod_yaml
+
+        bgr, depth = _fixture_frame()
+        mask_src = cv2.imread(os.path.join(FIXTURE, "scene_mask.png"),
+                              cv2.IMREAD_UNCHANGED)
+        if mask_src is None:
+            # fixture object = valid-depth region nearer than background
+            mask_src = ((depth > 0) & (depth < 900)).astype(np.uint8)
+        big_bgr = cv2.resize(bgr, (1280, 960))
+        big_depth = cv2.resize(depth, (1280, 960),
+                               interpolation=cv2.INTER_NEAREST)
+        big_mask = cv2.resize(mask_src, (1280, 960),
+                              interpolation=cv2.INTER_NEAREST).astype(bool)
+        det_w = cfg.DetectorConfig(image_width=1280, image_height=960,
+                                   max_candidates=16)
+        pose = np.zeros(13, np.float32)
+        pose[0] = pose[5] = pose[10] = 1.0
+        pose[12] = 650.0
+        view = training.add_template(big_bgr, big_depth, big_mask, pose,
+                                     det_w)
+        assert view is not None, "wide template extraction failed"
+        os.makedirs(os.path.join(wdir, "features", "depth"), exist_ok=True)
+        linemod_yaml.save_linemod(
+            os.path.join(wdir, "features", "linemod_templates.yml"),
+            det_w, {"obj": [view]})
+        cv2.imwrite(os.path.join(wdir, "features", "depth", "0.png"),
+                    (big_depth.astype(np.uint32) * 10).astype(np.uint16))
+        cv2.imwrite(frame_bgr, big_bgr)
+        cv2.imwrite(os.path.join(wdir, "scene_depth.png"), big_depth)
+    bgr = cv2.imread(frame_bgr)
+    depth = cv2.imread(os.path.join(wdir, "scene_depth.png"),
+                       cv2.IMREAD_UNCHANGED)
+    return wdir, bgr, depth
+
+
+def _wide_engine_and_result():
+    """CPU/chip-shared: wide engine + top-1 recognition on the wide
+    frame + the wide response planes (multi-128-lane geometry)."""
+    from fealess_tpu import config as cfg
+    from fealess_tpu.engine import CamIntrinsics, ObjReco
+
+    wdir, bgr, depth = _wide_fixture()
+    fx, fy, cx, cy = np.loadtxt(os.path.join(FIXTURE, "cam.txt"))
+    cam = CamIntrinsics(fx=2 * fx, fy=2 * fy, cx=2 * cx, cy=2 * cy,
+                        width=1280, height=960)
+    eng = ObjReco.create("LmICP", cfg.EngineConfig(
+        detector=cfg.DetectorConfig(image_width=1280, image_height=960,
+                                    max_candidates=16),
+        template_fx=2 * fx, template_fy=2 * fy,
+        template_cx=2 * cx, template_cy=2 * cy))
+    eng.add_obj(os.path.join(wdir, "features"))
+    res = eng.recognition(bgr, depth, cam)
+    planes = _planes_for(eng, bgr, depth)
+    return eng, res, planes
+
+
 def run_golden():
     import jax
 
@@ -288,8 +356,39 @@ def run_golden():
     kcf_rois = _kcf_trace(bgr)
     seq = _seq_results()
 
+    # --- wide-geometry goldens (multi-128-lane kernels + wide e2e)
+    weng, wres, wplanes = _wide_engine_and_result()
+    assert wres, "no wide detection on CPU"
+    d0w = np.asarray(wplanes[0][0])            # (400, 192, 256)
+    wtab = weng._kernels[0]
+    hdw, wdw = d0w.shape[1], d0w.shape[2]
+    w_slots = rng.integers(0, weng.bank.capacity, 64).astype(np.int32)
+    w_px0 = np.concatenate([
+        rng.integers(0, wdw - 16 + 1, 32),
+        rng.integers(wdw - 40, wdw - 16 + 1, 32)]).astype(np.int32)
+    w_py0 = rng.integers(0, hdw - 16 + 1, 64).astype(np.int32)
+    wtab_k = {key: np.asarray(wtab[key])[w_slots] for key in wtab}
+    w_local = np.asarray(score_pallas.local_scores(
+        jnp.asarray(d0w), {k2: jnp.asarray(v) for k2, v in wtab_k.items()},
+        jnp.asarray(w_px0), jnp.asarray(w_py0)))
+    # multi-tile COARSE: a 1920-class level-1 grid (wd + nb > 128) with
+    # adversarial random planes against the fixture level-1 table
+    c_wide_planes = rng.integers(
+        0, 5, size=(np.asarray(d_c).shape[0], 65, 120)).astype(np.uint8)
+    c_wide = np.asarray(score_pallas._coarse_scores_xla(
+        jnp.asarray(c_wide_planes), tables[l_c]))
+
     np.savez_compressed(
         GOLDEN,
+        wide_d0=d0w, wide_local=w_local,
+        wide_local_c=wtab_k["c"], wide_local_ry=wtab_k["ry"],
+        wide_local_rx=wtab_k["rx"], wide_local_bstart=wtab_k["bstart"],
+        wide_px0=w_px0, wide_py0=w_py0,
+        wide_coarse_planes=c_wide_planes, wide_coarse=c_wide,
+        wide_x=np.float32(wres[0].match_rect[0]),
+        wide_y=np.float32(wres[0].match_rect[1]),
+        wide_sim=np.float32(wres[0].similarity),
+        wide_pose=wres[0].world2cam,
         d_coarse=np.asarray(d_c), d_level0=np.asarray(d_0),
         coarse_golden=coarse,
         coarse_c=np.asarray(tables[l_c]["c"]),
@@ -364,6 +463,51 @@ def run_chip(out_path):
            "candidates": int(local_tpu.shape[0]),
            "right_edge_candidates":
                int(np.sum(g["local_px0"] >= g["d_level0"].shape[2] - 24))})
+
+    # 3b. WIDE geometry: the multi-128-lane kernel variants and the wide
+    # serving path (VERDICT r4 weak#2).  Local kernel on real 1280x960
+    # planes (2 lane-tiles incl. right-edge windows), coarse kernel on a
+    # 1920-class grid, and end-to-end recognition at 1280x960.
+    if "wide_d0" in g:
+        tab_w = {"c": jnp.asarray(g["wide_local_c"]),
+                 "ry": jnp.asarray(g["wide_local_ry"]),
+                 "rx": jnp.asarray(g["wide_local_rx"]),
+                 "bstart": jnp.asarray(g["wide_local_bstart"])}
+        wl_tpu = np.asarray(score_pallas._local_scores_tpu(
+            jnp.asarray(g["wide_d0"]), tab_w,
+            jnp.asarray(g["wide_px0"]), jnp.asarray(g["wide_py0"])))
+        check("wide_local_kernel_exact",
+              np.array_equal(wl_tpu, g["wide_local"]),
+              {"mismatches": int(np.sum(wl_tpu != g["wide_local"])),
+               "lanes": int(np.ceil(g["wide_d0"].shape[2] / 128) * 128)})
+        tab_c2 = {"c": jnp.asarray(g["coarse_c"]),
+                  "ry": jnp.asarray(g["coarse_ry"]),
+                  "rx": jnp.asarray(g["coarse_rx"]),
+                  "bstart": jnp.asarray(g["coarse_bstart"])}
+        wc_tpu = np.asarray(score_pallas._coarse_scores_tpu(
+            jnp.asarray(g["wide_coarse_planes"]), tab_c2))
+        check("wide_coarse_kernel_exact",
+              np.array_equal(wc_tpu, g["wide_coarse"]),
+              {"mismatches": int(np.sum(wc_tpu != g["wide_coarse"])),
+               "grid": list(g["wide_coarse_planes"].shape[1:])})
+        _, wres, wplanes = _wide_engine_and_result()
+        w_match = (wres and wres[0].match_rect[0] == float(g["wide_x"])
+                   and wres[0].match_rect[1] == float(g["wide_y"])
+                   and abs(wres[0].similarity - float(g["wide_sim"]))
+                   <= 1e-3)
+        d0w_tpu = np.asarray(wplanes[0][0])
+        r_rel = wres[0].world2cam[:3, :3] @ g["wide_pose"][:3, :3].T
+        w_rot = float(np.degrees(np.arccos(np.clip(
+            (np.trace(r_rel) - 1) / 2, -1, 1))))
+        w_trans = float(np.linalg.norm(wres[0].world2cam[:3, 3]
+                                       - g["wide_pose"][:3, 3]))
+        check("wide_e2e_1280x960",
+              bool(w_match) and np.array_equal(d0w_tpu, g["wide_d0"])
+              and w_rot <= 2.0 and w_trans <= 10.0,
+              {"match_exact": bool(w_match),
+               "planes_diff": int(np.sum(d0w_tpu != g["wide_d0"])),
+               "rot_deg_vs_cpu": round(w_rot, 4),
+               "trans_mm_vs_cpu": round(w_trans, 4)})
 
     # 4. NN kernel vs XLA twin golden (ties resolved by equal distance)
     idx_tpu, d2_tpu = (np.asarray(v) for v in

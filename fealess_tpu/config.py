@@ -51,6 +51,15 @@ class DetectorConfig:
     def pyramid_levels(self) -> int:
         return len(self.t_at_level)
 
+    @property
+    def pyramid_alignment(self) -> int:
+        """Smallest dimension multiple for which every pyramid level is
+        T-divisible: lcm over levels of ``t_l << l`` (80 for the default
+        T={5,8}).  The engine pads frames to this (the reference instead
+        hard-requires 640x480, obj_reco_lmicp.cpp:216-259)."""
+        import math
+        return math.lcm(*[t << l for l, t in enumerate(self.t_at_level)])
+
 
 def default_line() -> DetectorConfig:
     """Gradient-only detector (getDefaultLINE, linemod.cpp:1822-1827)."""

@@ -301,18 +301,40 @@ class ObjReco:
     def _prepare_frame(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
                        cam: CamIntrinsics):
         """PrepareInputData (obj_reco_lmicp.cpp:216-259): resize to the
-        processing width, zoom the intrinsics."""
+        processing width, zoom the intrinsics — then pad bottom/right to
+        the pyramid alignment (every level T-divisible) so ANY camera
+        geometry serves.  The reference instead hard-requires the 640x480
+        4:3 operating point; here padded rows carry zero depth (invalid)
+        and zero color, intrinsics are untouched (padding doesn't move
+        the principal point), and match/refine coordinates stay valid
+        because padding is strictly bottom/right."""
         d = self.cfg.detector
         if (rgb_bgr.shape[0] != cam.height or rgb_bgr.shape[1] != cam.width
                 or depth_u16.shape != (cam.height, cam.width)):
             raise ValueError("image size must match camera intrinsics")
         zoom = d.image_width / cam.width
         w = d.image_width
-        h = cam.height * d.image_width // cam.width
+        h = int(round(cam.height * zoom))
         if zoom != 1.0:
             rgb_bgr = cv2.resize(rgb_bgr, (w, h))
             depth_u16 = cv2.resize(depth_u16, (w, h),
                                    interpolation=cv2.INTER_NEAREST)
+        align = d.pyramid_alignment
+        h_pad = -(-h // align) * align
+        w_pad = -(-w // align) * align
+        if (h_pad, w_pad) != (h, w):
+            rgb_bgr = np.pad(rgb_bgr, ((0, h_pad - h), (0, w_pad - w),
+                                       (0, 0)))
+            depth_u16 = np.pad(depth_u16, ((0, h_pad - h), (0, w_pad - w)))
+        if (d.image_height, d.image_width) != (h_pad, w_pad):
+            # first frame from a camera with a new aspect: pin the
+            # processing dims (jit keys on them) and refresh the tables
+            self.cfg = dataclasses.replace(
+                self.cfg, detector=dataclasses.replace(
+                    d, image_height=h_pad, image_width=w_pad))
+            if self.bank is not None:
+                self._kernels = det_mod.build_match_tables(
+                    self.bank, self.cfg.detector)
         fx, fy, cx, cy = gd.scale_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy,
                                              zoom)
         scene_k = gd.intrinsics_matrix(fx, fy, cx, cy)
@@ -393,6 +415,14 @@ class ObjReco:
             raise RuntimeError("add_obj not called")
         rgb_bgr, depth_u16, scene_k = self._prepare_frame(rgb_bgr,
                                                           depth_u16, cam)
+        if roi_mask is not None and roi_mask.shape != rgb_bgr.shape[:2]:
+            ph = rgb_bgr.shape[0] - roi_mask.shape[0]
+            pw = rgb_bgr.shape[1] - roi_mask.shape[1]
+            if ph < 0 or pw < 0:
+                raise ValueError(
+                    f"roi_mask {roi_mask.shape} larger than processing "
+                    f"frame {rgb_bgr.shape[:2]}")
+            roi_mask = np.pad(roi_mask, ((0, ph), (0, pw)))
         step = pipeline.recognize_top1_jit(
             self.bank, self._model_depth_dev, self._origins_dev,
             jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,

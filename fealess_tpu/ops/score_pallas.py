@@ -22,10 +22,12 @@ Design notes (all measured on the target chip):
   halving the ~85-cycle per-bucket epilogue count (37% kernel win,
   measured) — and empty buckets skip via ``lax.cond``.
 - Only 32-bit dtypes support dynamic sublane slices on this toolchain,
-  which would blow VMEM for the level-0 plane stack; instead FOUR u8
-  response channels are byte-packed per i32 lane (planes values are
-  0..4) and the kernel extracts the byte with a shift+mask.  The packed
-  stack is ~5.7 MB and stays resident in VMEM.
+  which would blow VMEM for the level-0 plane stack; instead EIGHT u8
+  response channels (values 0..4, 3 bits) are nibble-packed per i32
+  lane and the kernel extracts one with a shift+mask.  The packed
+  level-0 640x480 stack is ~2.9 MB and stays resident in VMEM; wide
+  images ride multiple 128-lane tiles (1280-wide = 2), gated by a VMEM
+  budget with a width-agnostic XLA fallback beyond it.
 - Features are sorted valid-first at table-build time, and the bucket
   boundaries double as loop trip counts, so invalid padding features
   cost nothing (at the coarse pyramid level half the feature slots are
@@ -56,16 +58,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pack_planes(planes: jax.Array, hpad: int) -> jax.Array:
-    """(C, Hd, Wd) u8 response planes -> (CQ, hpad, 128) i32 with four
-    consecutive channels byte-packed per lane and one all-zero group
-    appended (the redirect target for discarded features)."""
+def _pack_planes(planes: jax.Array, hpad: int, lanes: int) -> jax.Array:
+    """(C, Hd, Wd) u8 response planes -> (CQ, hpad, lanes) i32 with EIGHT
+    consecutive channels nibble-packed per lane (responses are 0..4, 3
+    bits) and one all-zero group appended (the redirect target for
+    discarded features).  ``lanes`` is a 128-multiple >= Wd — wide
+    images ride multiple 128-lane tiles."""
     c, hd, wd = planes.shape
-    c4 = _round_up(c, 4)
+    c8 = _round_up(c, 8)
     x = jnp.pad(planes.astype(jnp.int32),
-                ((0, c4 - c), (0, hpad - hd), (0, 128 - wd)))
-    x = x.reshape(c4 // 4, 4, hpad, 128)
-    packed = (x[:, 0] + (x[:, 1] << 8) + (x[:, 2] << 16) + (x[:, 3] << 24))
+                ((0, c8 - c), (0, hpad - hd), (0, lanes - wd)))
+    x = x.reshape(c8 // 8, 8, hpad, lanes)
+    packed = x[:, 0]
+    for b in range(1, 8):
+        packed = packed + (x[:, b] << (4 * b))
     return jnp.pad(packed, ((0, 1), (0, 0), (0, 0)))
 
 
@@ -97,7 +103,7 @@ def _shift_lanes_zero(x: jax.Array, b: int) -> jax.Array:
 _VMEM_STACK_BUDGET = 11 * 2 ** 20
 
 
-def _stacked_planes(planes: jax.Array, hpad: int):
+def _stacked_planes(planes: jax.Array, hpad: int, lanes: int):
     """Packed plane stack + bucket stride for the score kernels.
 
     Stride 2 keeps TWO copies in VMEM — the packed planes and a
@@ -108,14 +114,27 @@ def _stacked_planes(planes: jax.Array, hpad: int):
     halves, a measured 37% kernel win at the fixture operating point
     (benchmarks/kernel_lab).  Falls back to one copy when two would
     blow the VMEM budget."""
-    packed = _pack_planes(planes, hpad)          # (CQ, hpad, 128) i32
+    packed = _pack_planes(planes, hpad, lanes)   # (CQ, hpad, lanes) i32
     cq = packed.shape[0]
     if 2 * packed.size * 4 > _VMEM_STACK_BUDGET:
-        return packed.reshape(cq * hpad, 128), cq, 1
-    shifted = jnp.concatenate(
-        [packed[:, :, 1:], jnp.zeros_like(packed[:, :, :1])], axis=2)
-    d2 = jnp.concatenate([packed, shifted]).reshape(2 * cq * hpad, 128)
-    return d2, cq, 2
+        stride = 1
+        d2 = packed.reshape(cq * hpad, lanes)
+    else:
+        stride = 2
+        shifted = jnp.concatenate(
+            [packed[:, :, 1:], jnp.zeros_like(packed[:, :, :1])], axis=2)
+        d2 = jnp.concatenate([packed, shifted]).reshape(
+            stride * cq * hpad, lanes)
+    # Multi-tile widths: Mosaic only proves alignment for dynamic sublane
+    # loads on single-lane-tile (128-wide) memrefs, so a (R, n*128) stack
+    # is re-laid as (n*R, 128) — lane tile t occupies rows [t*R, (t+1)*R)
+    # and the kernels load each tile's slab and concatenate.
+    if lanes > 128:
+        n_t = lanes // 128
+        r = d2.shape[0]
+        d2 = (d2.reshape(r, n_t, 128).transpose(1, 0, 2)
+              .reshape(n_t * r, 128))
+    return d2, cq, stride
 
 
 def _bucket_starts(bstart: jax.Array, stride: int) -> jax.Array:
@@ -131,21 +150,28 @@ def _bucket_starts(bstart: jax.Array, stride: int) -> jax.Array:
     return out
 
 
-def _coarse_kernel(hd: int, nb2: int, f: int, stride: int):
+def _coarse_kernel(hd: int, nb2: int, f: int, stride: int, lanes: int,
+                   rblock: int):
+    n_tiles = lanes // 128
+
     def kernel(rows_ref, sh_ref, bstart_ref, d_ref, out_ref):
         for t in range(_BN):
-            acc = jnp.zeros((hd, 128), jnp.int32)
+            acc = jnp.zeros((hd, lanes), jnp.int32)
             for b in range(nb2):
                 lo = bstart_ref[t, b]
                 hi = bstart_ref[t, b + 1]
 
-                def inner(i, bacc):
-                    slab = d_ref[pl.ds(rows_ref[t, i], hd), :]
-                    return bacc + ((slab >> sh_ref[t, i]) & 255)
+                def inner(i, bacc, t=t):
+                    row = rows_ref[t, i]
+                    slab = jnp.concatenate(
+                        [d_ref[pl.ds(row + j * rblock, hd), :]
+                         for j in range(n_tiles)], axis=1) \
+                        if n_tiles > 1 else d_ref[pl.ds(row, hd), :]
+                    return bacc + ((slab >> sh_ref[t, i]) & 15)
 
                 def work(a, lo=lo, hi=hi, b=b):
                     bacc = jax.lax.fori_loop(
-                        lo, hi, inner, jnp.zeros((hd, 128), jnp.int32))
+                        lo, hi, inner, jnp.zeros((hd, lanes), jnp.int32))
                     return a + _shift_lanes(bacc, stride * b)
 
                 acc = jax.lax.cond(lo < hi, work, lambda a: a, acc)
@@ -161,15 +187,20 @@ def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
     # each frame's kernel already fills the chip.
     c, hd, wd = planes.shape
     nb = table["bstart"].shape[1] - 1
-    if wd + nb > 128 or hd + nb > 256:
-        return _coarse_scores_xla(planes, table)
+    # lanes cover the image AND the widest bucket shift (features at
+    # column offset rx read plane column p + rx; beyond-lanes reads are
+    # zero-filled by the static shift, matching the zero padding)
+    lanes = _round_up(wd + nb, 128)
     hpad = hd + nb
-    d2, cq, stride = _stacked_planes(planes, hpad)
+    if (_pack_planes_size(c, hpad, lanes) > _VMEM_STACK_BUDGET
+            or _BN * hd * lanes * 4 > 2 ** 21):   # out block VMEM bound
+        return _coarse_scores_xla(planes, table)
+    d2, cq, stride = _stacked_planes(planes, hpad, lanes)
 
     cc, ry, rx = table["c"], table["ry"], table["rx"]
-    rows = ((cc // 4) * hpad + ry
+    rows = ((cc // 8) * hpad + ry
             + (rx % stride) * (cq * hpad)).astype(jnp.int32)
-    sh = (8 * (cc % 4)).astype(jnp.int32)
+    sh = (4 * (cc % 8)).astype(jnp.int32)
     bstart = _bucket_starts(table["bstart"], stride)
     nb2 = bstart.shape[1] - 1
     n, f = rows.shape
@@ -178,8 +209,9 @@ def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
     sh = jnp.pad(sh, ((0, npad - n), (0, 0)))
     bstart = jnp.pad(bstart, ((0, npad - n), (0, 0)))  # all-zero -> no work
 
+    rblock = d2.shape[0] // (lanes // 128)
     out = pl.pallas_call(
-        _coarse_kernel(hd, nb2, f, stride),
+        _coarse_kernel(hd, nb2, f, stride, lanes, rblock),
         grid=(npad // _BN,),
         in_specs=[
             pl.BlockSpec((_BN, f), lambda i: (i, 0),
@@ -190,11 +222,16 @@ def _coarse_scores_tpu(planes: jax.Array, table) -> jax.Array:
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BN, hd, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_BN, hd, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, hd, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npad, hd, lanes), jnp.int32),
     )(rows, sh, bstart, d2)
     return out[:n, :, :wd]
+
+
+def _pack_planes_size(c: int, hpad: int, lanes: int) -> int:
+    """Bytes of ONE nibble-packed plane-stack copy (stride-1 floor)."""
+    return (_round_up(c, 8) // 8 + 1) * hpad * lanes * 4
 
 
 def _coarse_scores_xla(planes: jax.Array, table) -> jax.Array:
@@ -237,23 +274,28 @@ def coarse_scores(planes: jax.Array, table) -> jax.Array:
 # Local 16x16 refinement scorer
 # ---------------------------------------------------------------------------
 
-def _local_kernel(nb2: int, f: int, stride: int):
+def _local_kernel(nb2: int, f: int, stride: int, lanes: int, rblock: int):
     w16 = LOCAL_WINDOW
+    n_tiles = lanes // 128
 
     def kernel(rows_ref, sh_ref, bstart_ref, px0_ref, d_ref, out_ref):
         kk = pl.program_id(0)
-        acc = jnp.zeros((w16, 128), jnp.int32)
+        acc = jnp.zeros((w16, lanes), jnp.int32)
         for b in range(nb2):
             lo = bstart_ref[kk, b]
             hi = bstart_ref[kk, b + 1]
 
             def inner(i, bacc):
-                slab = d_ref[pl.ds(rows_ref[kk, i], w16), :]
-                return bacc + ((slab >> sh_ref[kk, i]) & 255)
+                row = rows_ref[kk, i]
+                slab = jnp.concatenate(
+                    [d_ref[pl.ds(row + j * rblock, w16), :]
+                     for j in range(n_tiles)], axis=1) \
+                    if n_tiles > 1 else d_ref[pl.ds(row, w16), :]
+                return bacc + ((slab >> sh_ref[kk, i]) & 15)
 
             def work(a, lo=lo, hi=hi, b=b):
                 bacc = jax.lax.fori_loop(
-                    lo, hi, inner, jnp.zeros((w16, 128), jnp.int32))
+                    lo, hi, inner, jnp.zeros((w16, lanes), jnp.int32))
                 return a + _shift_lanes_zero(bacc, stride * b)
 
             acc = jax.lax.cond(lo < hi, work, lambda a: a, acc)
@@ -282,21 +324,23 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
     c, hd, wd = planes.shape
     nb = table_k["bstart"].shape[1] - 1
     w16 = LOCAL_WINDOW
+    lanes = _round_up(wd, 128)
     hpad = hd + w16
-    d2, cq, stride = _stacked_planes(planes, hpad)
+    d2, cq, stride = _stacked_planes(planes, hpad, lanes)
 
     px0c, a, ok = _local_prepare(table_k, px0, py0, hd)
     cc = table_k["c"]
     rx = table_k["rx"]
-    rows = jnp.where(ok, (cc // 4) * hpad + a
+    rows = jnp.where(ok, (cc // 8) * hpad + a
                      + (rx % stride) * (cq * hpad), (cq - 1) * hpad)
-    sh = jnp.where(ok, 8 * (cc % 4), 0).astype(jnp.int32)
+    sh = jnp.where(ok, 4 * (cc % 8), 0).astype(jnp.int32)
     bstart = _bucket_starts(table_k["bstart"], stride)
     nb2 = bstart.shape[1] - 1
     k, f = rows.shape
 
+    rblock = d2.shape[0] // (lanes // 128)
     out = pl.pallas_call(
-        _local_kernel(nb2, f, stride),
+        _local_kernel(nb2, f, stride, lanes, rblock),
         grid=(k,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -305,9 +349,9 @@ def _local_scores_tpu(planes: jax.Array, table_k, px0, py0) -> jax.Array:
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w16, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, w16, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, w16, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((k, w16, lanes), jnp.int32),
     )(rows.astype(jnp.int32), sh, bstart.astype(jnp.int32),
       px0c.astype(jnp.int32), d2)
     return out[:, :, :w16]
@@ -351,9 +395,10 @@ def local_scores(planes: jax.Array, table_k, px0, py0) -> jax.Array:
 
     Args:
       planes: (C, Hd, Wd) u8 decimated response planes (all modalities).
-        Wd <= 128 rides the Pallas kernel (level-0 640/T=5 is exactly
-        128); wider planes fall back to the width-agnostic XLA scorer,
-        mirroring the coarse scorer's size fallback.
+        The Pallas kernel covers any width whose nibble-packed stack
+        fits the VMEM budget (multi-128-lane tiles: level-0 640/T=5 is
+        one tile, 1280/T=5 two); larger geometries fall back to the
+        width-agnostic XLA scorer, mirroring the coarse scorer.
       table_k: per-candidate slot-gathered table arrays — ``c``/``ry``/
         ``rx`` (K, F) bucket-sorted features, ``bstart`` (K, NB+1).
       px0 / py0: (K,) i32 decimated window origins (may be negative only
@@ -362,8 +407,10 @@ def local_scores(planes: jax.Array, table_k, px0, py0) -> jax.Array:
         px0 <= Wd - 16, which the detector's candidate clamp guarantees
         (linemod.cpp:1515-1534 semantics).
     """
-    wd = planes.shape[2]
+    c, hd, wd = planes.shape
     nb = table_k["bstart"].shape[1] - 1
-    if jax.default_backend() == "tpu" and wd <= 128 and nb < 128:
+    fits = (_pack_planes_size(c, hd + LOCAL_WINDOW, _round_up(wd, 128))
+            <= _VMEM_STACK_BUDGET)
+    if jax.default_backend() == "tpu" and fits and nb < 128:
         return _local_scores_tpu(planes, table_k, px0, py0)
     return _local_scores_xla(planes, table_k, px0, py0)
