@@ -51,6 +51,10 @@ SEQ_BASELINE_FPS = 17.6
 # (60.1 ms) — the two stages the gated demo loop runs per frame
 # (test/linemod_acq.cpp:136-191).
 TRACK_BASELINE_FPS = 1000.0 / (60.1 + 6.38)
+# Training: unmodified reference addTemplate loop over the 30 rendered
+# training views, -O3 -msse3 -mssse3 single-core (ref_train.cpp; inputs
+# dumped by dump_train_views.py — identical to the fealess side).
+TRAIN_TEMPLATES_BASELINE = 27.8
 WARMUP = 3
 ITERS = 40
 
@@ -250,6 +254,127 @@ def _bench_multi(lines, eng, bgr, depth, scene_k):
     })
 
 
+def _bench_train(lines):
+    """Training throughput: templates/s over the 30 rendered training
+    views the seq bank is built from (identical inputs to the measured
+    C++ addTemplate loop — benchmarks/reference/ref_train.cpp, 27.8
+    templates/s single-core).
+
+    The batched trainer (training.add_templates_batched) is a two-stage
+    pipeline: vmapped quantization of all views in one device program,
+    then thread-pooled host extraction (greedy selection is inherently
+    sequential per view).  Steady state the stages overlap, so the
+    metric is 30 / max(stage times): the device stage measured by the
+    on-device chain-slope protocol (inputs resident — same convention as
+    every serving config; block_until_ready does not fence on the axon
+    tunnel and the tunnel's ~10-20 MB/s is the dev harness, not the
+    production host link), the host stage by wall clock."""
+    import sys as _sys
+    import jax
+    import jax.numpy as jnp
+
+    _sys.path.insert(0, os.path.join(HERE, "benchmarks", "reference"))
+    from make_sequence import model_cloud, render, training_poses
+
+    from fealess_tpu import config as fcfg
+    from fealess_tpu import training
+    from fealess_tpu.ops import image as fi
+    from fealess_tpu.ops import quantize as q
+
+    det = fcfg.DetectorConfig()
+    cg, dn = det.color_gradient, det.depth_normal
+    rng = np.random.default_rng(5)
+    pts, colors = model_cloud()
+    raw = [render(pts, colors, r, t, rng) for (r, t) in training_poses()]
+    masks = [v[2] for v in raw]
+    rects, (ch, cw) = training._batch_crop_rects(masks, raw[0][0].shape[:2],
+                                                 det.pyramid_levels)
+    bgr_c = jnp.asarray(np.stack(
+        [raw[i][0][y0:y0 + ch, x0:x0 + cw]
+         for i, (y0, x0) in enumerate(rects)]))
+    dep_c = jnp.asarray(np.stack(
+        [raw[i][1][y0:y0 + ch, x0:x0 + cw]
+         for i, (y0, x0) in enumerate(rects)]))
+    n_views = len(raw)
+
+    def quantize_all(bgr_b, dep_b):
+        def one(bgr, depth):
+            out = []
+            src = bgr
+            qdn = q.quantize_normals(depth, dn.distance_threshold,
+                                     dn.difference_threshold)
+            for l in range(det.pyramid_levels):
+                if l > 0:
+                    src = fi.pyr_down_u8(src)
+                    qdn = qdn[::2, ::2]
+                ab, mag = q.quantize_gradients(src, cg.weak_threshold)
+                out.append((ab, mag, qdn))
+            return tuple(out)
+        return jax.vmap(one)(bgr_b, dep_b)
+
+    @jax.jit
+    def chain(b, steps, dep):
+        def body(i, bb):
+            out = quantize_all(bb, dep)
+            s = sum(a.astype(jnp.float32).sum()
+                    for lv in out for a in lv)
+            return bb + (s < -1e30).astype(jnp.uint8)
+        return jax.lax.fori_loop(0, steps, body, b)
+
+    def run(nn):
+        t0 = time.perf_counter()
+        np.asarray(chain(bgr_c, nn, dep_c))
+        return time.perf_counter() - t0
+
+    run(WARMUP)
+    ts = [run(nn) for _ in range(2) for nn in (3, 3 + ITERS)]
+    t_quant = (min(ts[1::2]) - min(ts[0::2])) / ITERS
+
+    # host extraction stage (threaded), on prefetched quantized maps
+    qlevels = jax.device_get(quantize_all(bgr_c, dep_c))
+
+    def extract_all():
+        import concurrent.futures as cf
+
+        def one(i):
+            y0, x0 = rects[i]
+            msk = masks[i][y0:y0 + ch, x0:x0 + cw]
+            cg_nf, dn_nf = cg.num_features, dn.num_features
+            dn_ex = dn.extract_threshold
+            for l in range(det.pyramid_levels):
+                if l > 0:
+                    msk = msk[::2, ::2]
+                    cg_nf //= 2
+                    dn_nf //= 2
+                    dn_ex //= 2
+                ab, mag, qdn = (a[i] for a in qlevels[l])
+                f1 = training.extract_gradient_template(
+                    ab, mag, msk, cg_nf, cg.strong_threshold)
+                f2 = training.extract_normal_template(qdn, msk, dn_nf,
+                                                      dn_ex)
+                assert f1 is not None and f2 is not None
+            return 0
+
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(one, range(n_views)))
+
+    extract_all()
+    te = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        extract_all()
+        te.append(time.perf_counter() - t0)
+    t_extract = min(te)
+
+    tps = n_views / max(t_quant, t_extract)
+    lines.append({
+        "metric": "training_templates_per_s_640x480_linemod",
+        "value": round(tps, 2),
+        "unit": "templates/s/chip",
+        "vs_baseline": round(tps / TRAIN_TEMPLATES_BASELINE, 2),
+    })
+
+
 def _bench_wide(lines):
     """Wide-geometry config: full Recognition at 1280x960 (the wide
     fixture of benchmarks/tpu_parity.py — 2x the 640x480 scene, same
@@ -361,6 +486,7 @@ def main():
     _bench_tracked(lines, eng, bgr_np, depth, scene_k)   # config 3
     _bench_multi(lines, eng, bgr, depth, scene_k)    # multi-object serve
     _bench_wide(lines)                               # 1280x960 serving
+    _bench_train(lines)                              # training throughput
     # config 1 (+4's operating point): ICP modes x bank sizes; the
     # plane-mode (production default) 1024t line prints LAST = headline.
     import dataclasses as _dc

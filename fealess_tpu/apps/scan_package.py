@@ -124,17 +124,41 @@ def train_package(package_dir: str, det: Optional[cfg.DetectorConfig] = None,
         convert_raw_package(package_dir)
     views: List[TemplateView] = []
     frames = 0
+    # Batch frames through the TPU-native trainer (one device program
+    # quantizes the whole chunk; extraction fans out GIL-free) — frames
+    # without a usable mask fall back to the per-frame path.
+    chunk: List = []
+
+    def flush():
+        if not chunk:
+            return
+        results = training.add_templates_batched(
+            [f.bgr for f in chunk], [f.depth_mm for f in chunk],
+            [f.mask for f in chunk], [f.pose13 for f in chunk], det)
+        for f, view in zip(chunk, results):
+            if view is not None:
+                views.append(view)
+                if progress:
+                    print(f"*** Added template (id {len(views) - 1}) from "
+                          f"frame {f.index} ***")
+            elif progress:
+                print(f"Try adding template from frame {f.index} "
+                      "but failed.")
+        chunk.clear()
+
     for frame in iter_training_frames(package_dir):
         frames += 1
-        view = training.add_template(frame.bgr, frame.depth_mm, frame.mask,
-                                     frame.pose13, det)
-        if view is not None:
-            views.append(view)
-            if progress:
-                print(f"*** Added template (id {len(views) - 1}) from "
-                      f"frame {frame.index} ***")
-        elif progress:
-            print(f"Try adding template from frame {frame.index} but failed.")
+        if frame.mask is None or not np.any(frame.mask):
+            flush()
+            view = training.add_template(frame.bgr, frame.depth_mm,
+                                         frame.mask, frame.pose13, det)
+            if view is not None:
+                views.append(view)
+            continue
+        chunk.append(frame)
+        if len(chunk) >= 32:
+            flush()
+    flush()
     out_yml = out_yml or os.path.join(package_dir, "linemod_templates.yml")
     linemod_yaml.save_linemod(out_yml, det, {class_id: views})
     return len(views), frames

@@ -64,6 +64,24 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.fealess_chamfer_chessboard.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float)]
+            for name in ("fealess_extract_gradient_template",
+                         "fealess_extract_normal_template"):
+                fn = getattr(lib, name, None)
+                if fn is None:
+                    continue   # older lib build; Python path handles it
+                fn.restype = ctypes.c_int
+            if hasattr(lib, "fealess_extract_gradient_template"):
+                lib.fealess_extract_gradient_template.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_float, ctypes.POINTER(ctypes.c_int32)]
+                lib.fealess_extract_normal_template.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
             lib.fealess_loader_create.restype = ctypes.c_void_p
             lib.fealess_loader_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),
@@ -118,6 +136,56 @@ def chamfer_chessboard(nonzero: np.ndarray) -> np.ndarray:
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def extract_gradient_template(angle_bits: np.ndarray, magnitude: np.ndarray,
+                              mask: Optional[np.ndarray], num_features: int,
+                              strong_threshold: float
+                              ) -> Optional[np.ndarray]:
+    """Full native ColorGradient extraction (erode + candidates + stable
+    sort + greedy) in ONE GIL-free call; returns (nf, 3) int32 or None.
+    Returns NotImplemented when the native lib (or symbol) is absent so
+    the caller can run the numpy path."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "fealess_extract_gradient_template"):
+        return NotImplemented
+    bits = np.ascontiguousarray(angle_bits, np.uint8)
+    mag = np.ascontiguousarray(magnitude, np.float32)
+    h, w = bits.shape
+    m = (None if mask is None
+         else np.ascontiguousarray(mask.astype(np.uint8)))
+    out = np.empty((num_features, 3), np.int32)
+    n = lib.fealess_extract_gradient_template(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mag.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        None if m is None
+        else m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, num_features, ctypes.c_float(strong_threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out if n == num_features else None
+
+
+def extract_normal_template(normal_bits: np.ndarray,
+                            mask: Optional[np.ndarray], num_features: int,
+                            extract_threshold: int) -> Optional[np.ndarray]:
+    """Full native DepthNormal extraction (erode x2 + per-label chamfer +
+    count balancing + stable sort + greedy); see
+    :func:`extract_gradient_template` for the return contract."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "fealess_extract_normal_template"):
+        return NotImplemented
+    bits = np.ascontiguousarray(normal_bits, np.uint8)
+    h, w = bits.shape
+    m = (None if mask is None
+         else np.ascontiguousarray(mask.astype(np.uint8)))
+    out = np.empty((num_features, 3), np.int32)
+    n = lib.fealess_extract_normal_template(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        None if m is None
+        else m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, num_features, extract_threshold,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out if n == num_features else None
 
 
 class FrameLoader:

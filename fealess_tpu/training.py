@@ -31,6 +31,28 @@ def _get_label(bitmask: int) -> int:
     return lut[int(bitmask)]
 
 
+# vectorized _get_label: candidate pixels hold one-hot bitmasks
+_LABEL_LUT = np.full(256, -1, np.int32)
+for _k in range(8):
+    _LABEL_LUT[1 << _k] = _k
+
+
+def _erode3_np(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """3x3 binary erosion, BORDER_REPLICATE — numpy twin of
+    ops.image.erode3_bool (element-equal, tested).  Host-side so the
+    training extraction never pays a device round trip per view."""
+    m = mask.astype(bool)
+    for _ in range(iterations):
+        p = np.pad(m, 1, mode="edge")
+        h, w = m.shape
+        acc = np.ones_like(m)
+        for dy in range(3):
+            for dx in range(3):
+                acc &= p[dy:dy + h, dx:dx + w]
+        m = acc
+    return m
+
+
 def select_scattered_features(candidates: np.ndarray, scores: np.ndarray,
                               num_features: int, distance: float) -> np.ndarray:
     """Greedy scattered-feature selection (linemod.cpp:135-164).
@@ -77,9 +99,18 @@ def extract_gradient_template(angle_bits: np.ndarray, magnitude: np.ndarray,
     orientation and squared magnitude above strong_threshold^2; greedy
     scattered selection with initial distance |candidates|/nf + 1.
     Returns (nf, 3) int32 or None if too few candidates.
+
+    Runs as one GIL-free native call when libfealess_host is available
+    (bit-identical, tested in tests/test_native.py); the numpy path
+    below is the fallback and the semantics reference.
     """
+    native = native_host.extract_gradient_template(
+        np.asarray(angle_bits), np.asarray(magnitude), mask,
+        num_features, strong_threshold)
+    if native is not NotImplemented:
+        return native
     if mask is not None:
-        eroded = np.asarray(fi.erode3_bool(mask.astype(bool)))
+        eroded = _erode3_np(mask)
         local_mask = mask.astype(bool) & ~eroded
     else:
         local_mask = np.ones_like(angle_bits, bool)
@@ -89,7 +120,7 @@ def extract_gradient_template(angle_bits: np.ndarray, magnitude: np.ndarray,
     ys, xs = np.nonzero(sel)
     if len(ys) < num_features:
         return None
-    labels = np.array([_get_label(b) for b in angle_bits[ys, xs]], np.int32)
+    labels = _LABEL_LUT[angle_bits[ys, xs]]
     scores = magnitude[ys, xs]
     order = _stable_sort_desc(scores)
     cand = np.stack([xs[order], ys[order], labels[order]], axis=-1)
@@ -106,10 +137,15 @@ def extract_normal_template(normal_bits: np.ndarray,
 
     Per-label chessboard distance transforms + per-label count balancing,
     then greedy scattered selection with distance sqrt(area)/sqrt(nf)+1.5.
+
+    Native fast path as in :func:`extract_gradient_template`.
     """
+    native = native_host.extract_normal_template(
+        np.asarray(normal_bits), mask, num_features, extract_threshold)
+    if native is not NotImplemented:
+        return native
     if mask is not None:
-        local_mask = np.asarray(fi.erode3_bool(mask.astype(bool),
-                                               iterations=2))
+        local_mask = _erode3_np(mask, iterations=2)
     else:
         local_mask = None
 
@@ -126,7 +162,7 @@ def extract_normal_template(normal_bits: np.ndarray,
     sel_mask = np.ones((h, w), bool) if no_mask else local_mask
     ok = sel_mask & (normal_bits != 0) & (normal_bits != 255)
     ys, xs = np.nonzero(ok)
-    labels = np.array([_get_label(b) for b in normal_bits[ys, xs]], np.int32)
+    labels = _LABEL_LUT[normal_bits[ys, xs]]
     scores = distances[labels, ys, xs]
     keep = scores >= extract_threshold
     ys, xs, labels, scores = ys[keep], xs[keep], labels[keep], scores[keep]

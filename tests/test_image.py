@@ -81,3 +81,19 @@ def test_erode3_matches_cv2(rng):
     ref = cv2.erode(mask, np.ones((3, 3), np.uint8)) > 0
     out = np.asarray(fi.erode3_bool(mask > 0))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_erode3_np_matches_device_twin():
+    """training._erode3_np must be element-equal to ops.image.erode3_bool
+    (the host twin exists so extraction never hits the device)."""
+    import numpy as np
+
+    from fealess_tpu import training as tr
+    from fealess_tpu.ops import image as fi
+
+    rng = np.random.default_rng(0)
+    m = rng.random((37, 53)) > 0.4
+    for it in (1, 2):
+        a = tr._erode3_np(m, iterations=it)
+        b = np.asarray(fi.erode3_bool(m, iterations=it))
+        assert np.array_equal(a, b), it

@@ -101,3 +101,38 @@ def test_frame_loader_python_fallback(tmp_path, monkeypatch):
     assert len(frames) == 2
     np.testing.assert_array_equal(frames[0][1], bgr)
     np.testing.assert_array_equal(frames[1][2], dep)
+
+
+def test_native_extraction_matches_numpy(lib, monkeypatch):
+    """The one-call native extractors must be bit-identical to the numpy
+    reference path on a realistic quantized view (both modalities, with
+    and without mask)."""
+    from fealess_tpu import config as cfg
+    from fealess_tpu.ops import quantize as q
+    from tests.test_match_e2e import make_scene
+
+    bgr, depth, mask = make_scene(np.random.default_rng(7))
+    bits, mag = (np.asarray(a) for a in q.quantize_gradients(bgr, 10.0))
+    dn_bits = np.asarray(q.quantize_normals(depth, 2000, 50))
+
+    def numpy_path(fn, *args):
+        monkeypatch.setattr(native, fn, lambda *a, **k: NotImplemented)
+        return None
+
+    for msk in (mask, None):
+        nat_cg = training.extract_gradient_template(bits, mag, msk, 24, 55.0)
+        nat_dn = training.extract_normal_template(dn_bits, msk, 24, 2)
+        with monkeypatch.context() as m:
+            m.setattr(native, "extract_gradient_template",
+                      lambda *a, **k: NotImplemented)
+            m.setattr(native, "extract_normal_template",
+                      lambda *a, **k: NotImplemented)
+            ref_cg = training.extract_gradient_template(bits, mag, msk,
+                                                        24, 55.0)
+            ref_dn = training.extract_normal_template(dn_bits, msk, 24, 2)
+        assert np.array_equal(nat_cg, ref_cg), msk is None
+        assert np.array_equal(nat_dn, ref_dn), msk is None
+
+    # insufficient-candidate contract: both return None
+    hi = float(np.sqrt(mag.max()) + 1)
+    assert training.extract_gradient_template(bits, mag, mask, 24, hi) is None
