@@ -81,8 +81,10 @@ def _engine_for(args, width: int, height: int):
     # (ICP/common.cpp:326-372) — pass --template-* to reproduce that.
     ecfg = cfg.EngineConfig(
         detector=det,
-        icp=dataclasses.replace(cfg.IcpConfig(), mode=args.icp_mode,
-                                max_points=args.icp_max_points),
+        icp=dataclasses.replace(
+            cfg.IcpConfig(),
+            max_points=args.icp_max_points,
+            **({"mode": args.icp_mode} if args.icp_mode else {})),
         matching_threshold=args.threshold,
         refine_crop=min(args.refine_crop, height, width),
         template_fx=args.template_fx if args.template_fx > 0 else cam.fx,
@@ -106,10 +108,58 @@ def cmd_train(args) -> int:
     return 0 if added else 1
 
 
+def _profile_stages(eng, bgr, depth, cam, iters: int = 15):
+    """Per-stage device breakdown of one Recognition frame — the
+    printTimeOfICP analog (ICP/ICP.cpp:283-311), measured with the
+    chain-slope protocol (utils.profiling.chain_slope).  Stage rows are
+    cumulative pipeline prefixes; a stage's own cost is the delta from
+    the previous row."""
+    import jax.numpy as jnp
+
+    from fealess_tpu import detector as det_mod
+    from fealess_tpu import pipeline
+    from fealess_tpu.utils.profiling import chain_slope
+
+    bgr_p, depth_p, scene_k = eng._prepare_frame(bgr, depth, cam)
+    d = eng.cfg.detector
+    dep_j = jnp.asarray(depth_p)
+    kern = eng._kernels
+
+    def dep(b, x):
+        return b + (x.astype(jnp.float32).sum()
+                    > jnp.float32(1e30)).astype(jnp.uint8)
+
+    def front(b):
+        levels = det_mod.quantized_pyramid(b, dep_j, d)
+        planes = det_mod.response_planes(levels, d)
+        return dep(b, sum(p.sum() for p, _ in planes))
+
+    def match(b):
+        m = det_mod.match_bank(eng.bank, b, dep_j,
+                               eng.cfg.matching_threshold, d, kernels=kern)
+        return b + ((m.similarity[0] + m.x[0].astype(jnp.float32))
+                    < -1e30).astype(jnp.uint8)
+
+    def full(b):
+        step = pipeline.recognize_top1(
+            eng.bank, eng._model_depth_dev, eng._origins_dev, b, dep_j,
+            scene_k, eng.cfg, kernels=kern)
+        return b + ((step.pose.sum() + step.similarity)
+                    < -1e30).astype(jnp.uint8)
+
+    x0 = jnp.asarray(bgr_p)
+    rows = [("frontend(quant+planes)", chain_slope(front, x0, iters)),
+            ("match(front+score+topk+refine16)", chain_slope(match, x0,
+                                                             iters)),
+            ("full(match+icp_refine)", chain_slope(full, x0, iters))]
+    return rows
+
+
 def cmd_recon(args) -> int:
     import cv2
 
     from fealess_tpu.io.native import FrameLoader
+    from fealess_tpu.utils.profiling import StageTimer
 
     series = args.series or args.dir
     pairs = _series_paths(series, color_sub=args.color_sub)
@@ -131,17 +181,29 @@ def cmd_recon(args) -> int:
 
     loader = FrameLoader([p[0] for p in pairs], [p[1] for p in pairs],
                          target_wh=(w, h))
+    timer = StageTimer()
+    last_frame = None
     n = 0
     t0 = time.perf_counter()
-    for idx, bgr, depth in loader:
+    it = iter(loader)
+    while True:
+        t_io = time.perf_counter()
+        try:
+            idx, bgr, depth = next(it)
+        except StopIteration:
+            break
+        timer.add("host-io(decode+wait)", time.perf_counter() - t_io)
         if args.depth_scale != 1.0:
             depth = np.clip(np.rint(depth.astype(np.float64)
                                     * args.depth_scale),
                             0, 65535).astype(np.uint16)
+        t_e = time.perf_counter()
         if args.multi:
             results = eng.recognition_multi(bgr, depth, cam)
         else:
             results = eng.recognition(bgr, depth, cam)
+        timer.add("recognition(+fetch)", time.perf_counter() - t_e)
+        last_frame = (bgr, depth)
         n += 1
         out = {"frame": idx,
                "results": [{"obj": r.obj_tag,
@@ -158,6 +220,16 @@ def cmd_recon(args) -> int:
             cv2.imwrite(os.path.join(args.overlay_dir, f"{idx}.png"), img)
     dt = time.perf_counter() - t0
     print(f"# {n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
+    if getattr(args, "profile", False) and last_frame is not None:
+        print("# host wall-clock per frame:", file=sys.stderr)
+        print("\n".join("# " + ln for ln in timer.report().splitlines()),
+              file=sys.stderr)
+        print("# device stages (chain-slope, cumulative prefixes):",
+              file=sys.stderr)
+        for name, secs in _profile_stages(eng, last_frame[0],
+                                          last_frame[1], cam):
+            print(f"# {name:<36}{secs * 1e3:>10.3f} ms/frame",
+                  file=sys.stderr)
     return 0
 
 
@@ -177,6 +249,9 @@ def cmd_track(args) -> int:
     eng = _engine_for(args, w, h)
     cam = _camera(args, w, h)
     tracker = TrackedRecognizer(eng, max_lost=args.max_lost)
+    from fealess_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
+    last_frame = None
 
     loader = FrameLoader([p[0] for p in pairs], [p[1] for p in pairs],
                          target_wh=(w, h))
@@ -185,7 +260,11 @@ def cmd_track(args) -> int:
             depth = np.clip(np.rint(depth.astype(np.float64)
                                     * args.depth_scale),
                             0, 65535).astype(np.uint16)
+        t_s = time.perf_counter()
         step = tracker.step(bgr, depth, cam)
+        timer.add("track_step(kcf+match+refine)",
+                  time.perf_counter() - t_s)
+        last_frame = (bgr, depth)
         out = {"frame": idx, "redetected": step.redetected,
                "tracking": step.tracking,
                "roi": list(step.roi) if step.roi else None,
@@ -193,6 +272,16 @@ def cmd_track(args) -> int:
                             "pose": np.asarray(r.world2cam).tolist()}
                            for r in step.results]}
         print(json.dumps(out))
+    if getattr(args, "profile", False) and last_frame is not None:
+        print("# host wall-clock per frame:", file=sys.stderr)
+        print("\n".join("# " + ln for ln in timer.report().splitlines()),
+              file=sys.stderr)
+        print("# device stages (chain-slope, cumulative prefixes):",
+              file=sys.stderr)
+        for name, secs in _profile_stages(eng, last_frame[0],
+                                          last_frame[1], cam):
+            print(f"# {name:<36}{secs * 1e3:>10.3f} ms/frame",
+                  file=sys.stderr)
     return 0
 
 
@@ -271,8 +360,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="frame series dir (default: feature dir)")
         r.add_argument("--color-sub", default="gray")
         r.add_argument("--threshold", type=float, default=75.0)
-        r.add_argument("--icp-mode", default="point_to_point",
-                       choices=["point_to_point", "point_to_plane"])
+        r.add_argument("--icp-mode", default=None,
+                       choices=["point_to_point", "point_to_plane"],
+                       help="default: IcpConfig default (point_to_plane, "
+                            "the production path; point_to_point = "
+                            "reference parity mode)")
+        r.add_argument("--profile", action="store_true",
+                       help="print per-stage timing (the printTimeOfICP "
+                            "analog): host wall segments per frame plus "
+                            "the chain-slope device-stage table")
         r.add_argument("--refine-crop", type=int, default=256)
         r.add_argument("--icp-max-points", type=int, default=16384)
         r.add_argument("--depth-scale", type=float, default=0.1,

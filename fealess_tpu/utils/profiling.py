@@ -98,6 +98,34 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def chain_slope(body: Callable[[Any], Any], x0: Any, iters: int = 20,
+                reps: int = 2) -> float:
+    """Per-iteration device seconds of ``body`` via the on-device
+    dependency-chain slope (bench.py protocol): ``body(carry) -> carry``
+    runs inside one ``lax.fori_loop`` whose trip count varies, and the
+    slope between a short and a long chain isolates the device time —
+    the only sound device timing through the axon tunnel, where
+    ``block_until_ready`` does not fence (see .claude/skills/verify).
+    ``body`` must make its output depend on every stage it exercises.
+    """
+    import numpy as np
+    import jax
+
+    @jax.jit
+    def chain(b, steps):
+        return jax.lax.fori_loop(0, steps, lambda i, bb: body(bb), b)
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chain(x0, n))
+        return time.perf_counter() - t0
+
+    run(2)
+    lo, hi = 2, 2 + iters
+    ts = [run(n) for _ in range(reps) for n in (lo, hi)]
+    return (min(ts[1::2]) - min(ts[0::2])) / iters
+
+
 def time_jitted(fn: Callable[[], Any], iters: int = 20,
                 warmup: int = 3) -> float:
     """Mean steady-state seconds per call of ``fn`` (which must return a

@@ -285,3 +285,16 @@ def test_cli_acq_command(tmp_path, capsys):
     assert rc == 0
     assert os.path.exists(tmp_path / "out" / "gray" / "0.png")
     assert "intrinsics" in capsys.readouterr().out
+
+
+def test_cli_recon_profile(package_dir, capsys):
+    """--profile prints the printTimeOfICP-analog stage report: host
+    wall segments plus the chain-slope device-stage table."""
+    rc = cli.main(["recon", package_dir, "--refine-crop", "128",
+                   "--icp-max-points", "8192", "--profile"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "host-io(decode+wait)" in err
+    assert "recognition(+fetch)" in err
+    assert "frontend(quant+planes)" in err
+    assert "full(match+icp_refine)" in err

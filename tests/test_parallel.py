@@ -112,3 +112,30 @@ def test_batch_recon_sharded_matches_single(scene_and_bank, det_cfg):
                                np.asarray(single.similarity), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sharded.pose),
                                np.asarray(single.pose), atol=1e-2)
+
+
+def test_match_batch_2d_mesh(scene_and_bank, det_cfg):
+    """(d=2, t=4) frame x template mesh: each frame's merged global
+    top-K must equal the single-device full-bank match on that frame."""
+    from fealess_tpu.parallel import batch_recon
+
+    (bgr, depth), bank = scene_and_bank
+    bgrs = jnp.asarray(np.stack([bgr, np.roll(bgr, 10, axis=1)]))
+    deps = jnp.asarray(np.stack([depth, np.roll(depth, 10, axis=1)]))
+    m2 = mesh_mod.make_mesh([("d", 2), ("t", 4)])
+    out = jax.jit(lambda b_, i_, d_: batch_recon.match_batch_2d(
+        b_, i_, d_, 75.0, det_cfg, m2))(bank, bgrs, deps)
+
+    for f in range(2):
+        ref = jax.jit(lambda b_, i_, d_: detector.match_bank(
+            b_, i_, d_, 75.0, det_cfg))(bank, bgrs[f], deps[f])
+        rv = np.asarray(ref.valid)
+        ov = np.asarray(out.valid[f])
+        assert rv.any() and ov.any(), f
+        ri = int(np.argmax(rv))
+        oi = int(np.argmax(ov))
+        assert int(out.x[f][oi]) == int(ref.x[ri])
+        assert int(out.y[f][oi]) == int(ref.y[ri])
+        assert float(out.similarity[f][oi]) == pytest.approx(
+            float(ref.similarity[ri]))
+        assert int(out.template_slot[f][oi]) == int(ref.template_slot[ri])
