@@ -620,6 +620,36 @@ def run_chip(out_path):
           {"top_x": int(np.asarray(sharded.x)[st]),
            "top_sim": float(np.asarray(sharded.similarity)[st])})
 
+    # 8. serving artifact on the chip: export the fixture engine's fused
+    # step (jax.export serializes the Mosaic custom calls), deserialize
+    # the BYTES back and serve — results must match the live engine.
+    # (Cross-process deserialize+execute on the TPU backend is verified
+    # separately: tests/test_export.py documents the XLA:CPU-only AOT
+    # replay bug this image has.)
+    import tempfile
+
+    from fealess_tpu.io import export as export_mod
+
+    art_dir = tempfile.mkdtemp(prefix="fealess_artifact_")
+    export_mod.export_artifact(eng, art_dir)
+    art = export_mod.ServingArtifact(art_dir)
+    fxc, fyc, cxc, cyc = np.loadtxt(os.path.join(FIXTURE, "cam.txt"))
+    from fealess_tpu.engine import CamIntrinsics
+    cam_fix = CamIntrinsics(fx=fxc, fy=fyc, cx=cxc, cy=cyc,
+                            width=640, height=480)
+    live = eng.recognition(bgr, depth, cam_fix)
+    served = art.recognition(bgr, depth, cam_fix)
+    art_ok = (bool(live) and bool(served)
+              and served[0].match_rect == live[0].match_rect
+              and abs(served[0].similarity - live[0].similarity) <= 1e-3
+              and float(np.max(np.abs(served[0].world2cam
+                                      - live[0].world2cam))) <= 1e-2)
+    check("serving_artifact",
+          art_ok,
+          {"sim": None if not served else round(served[0].similarity, 2),
+           "max_pose_dev": None if not (live and served) else float(
+               np.max(np.abs(served[0].world2cam - live[0].world2cam)))})
+
     report["ok"] = bool(ok_all)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)

@@ -218,6 +218,14 @@ class ObjReco:
     def set_roi(self, roi_mask: np.ndarray) -> None:
         """SetROI is a stub in the reference (obj_reco_lmicp.cpp:81-84)."""
 
+    def export_artifact(self, path: str) -> None:
+        """Write the serialized serving artifact (the libObjRecoLmICP.so
+        analog — android/Android.mk): the fused Recognition step via
+        jax.export plus all engine state; a fresh process serves from it
+        without re-tracing (fealess_tpu.io.export.ServingArtifact)."""
+        from fealess_tpu.io import export as export_mod
+        export_mod.export_artifact(self, path)
+
     # -- advanced params (Set/GetAdvancedParam are stubs in the reference,
     # obj_reco_lmicp.cpp:206-214; here they actually reconfigure)
     _PARAM_PATHS = {
