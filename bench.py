@@ -185,11 +185,10 @@ def _bench_tracked(lines, eng, bgr_np, depth, scene_k):
             st, _ = tracker._update(st, bgr)
             x, y, rw, rh = st.roi[0], st.roi[1], st.roi[2], st.roi[3]
             ex, ey = 0.2 * rw, 0.2 * rh          # roi_expand 1.4
-            mask = ((xx >= x - ex) & (xx < x + rw + ex)
-                    & (yy >= y - ey) & (yy < y + rh + ey))
+            box = jnp.stack([x - ex, y - ey, x + rw + ex, y + rh + ey])
             m = det_mod.match_bank(bank, bgr, depth,
                                    ecfg.matching_threshold, det,
-                                   masks=[mask, mask], kernels=kern)
+                                   kernels=kern, roi_box=box)
             pose, _ = pipeline._refine_candidate(
                 bank, md, org, depth, k, m.template_slot[0], m.x[0],
                 m.y[0], ecfg, md.shape[-1])

@@ -227,7 +227,7 @@ def exact_top_k_rows(flat: jax.Array, k: int, rows: int):
 def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
                threshold: float, det: cfg.DetectorConfig,
                masks: Optional[List] = None,
-               kernels=None, class_mask=None) -> Matches:
+               kernels=None, class_mask=None, roi_box=None) -> Matches:
     """Full match over the template bank. All shapes static; jit-safe.
 
     ``kernels`` are the per-level score tables from
@@ -236,16 +236,25 @@ def match_bank(bank: TemplateBank, bgr: jax.Array, depth_mm: jax.Array,
     optional (capacity,) bool slot mask restricting the search to a
     subset of the bank — the class_ids filter of ``Detector::match``
     (linemod/linemod.hpp:317-325); build it from class names with
-    :func:`fealess_tpu.bank.class_slot_mask`."""
+    :func:`fealess_tpu.bank.class_slot_mask`.  ``roi_box`` is an
+    optional (4,) f32 ``(x0, y0, x1, y1)`` level-0 pixel box gating
+    candidate POSITIONS at the coarse stage — the cheap search-region
+    gate of the tracked pipeline (a feature-level ``masks`` breaks the
+    front-end's XLA fusion and measured +0.8 ms/frame on chip; the box
+    gate is free).  Semantics: a candidate survives iff its template
+    rect intersects the box (vs the reference demo's zeroing of
+    quantized features outside the mask, linemod_acq.cpp:136-191 — same
+    intent, documented divergence)."""
     levels = quantized_pyramid(bgr, depth_mm, det, masks)
     planes = response_planes(levels, det)
     return match_from_planes(bank, planes, threshold, det, kernels,
-                             class_mask=class_mask)
+                             class_mask=class_mask, roi_box=roi_box)
 
 
 def match_from_planes(bank: TemplateBank, planes, threshold: float,
                       det: cfg.DetectorConfig, kernels=None,
-                      class_mask=None, *, profile_stop=None) -> Matches:
+                      class_mask=None, roi_box=None, *,
+                      profile_stop=None) -> Matches:
     """Score the bank against decimated response planes.
 
     The coarse level computes all-template, all-position scores with the
@@ -305,6 +314,22 @@ def match_from_planes(bank: TemplateBank, planes, threshold: float,
                & (px_idx <= (wd - wf)[:, None, None])
                & (py_idx <= (hd - hf)[:, None, None])
                & slot_ok[:, None, None])
+    if roi_box is not None:
+        # positional search-region gate (see match_bank): template rect
+        # [x, x + w0) x [y, y + h0) at level-0 scale must intersect the
+        # box.  Candidate pixel position at the coarse level scales by
+        # 2^l_coarse back to level 0.
+        sc = jnp.float32(1 << l_coarse)
+        off_cf = jnp.float32(_offset(t_c))
+        cand_x0 = ((px_idx.astype(jnp.float32) * t_c + off_cf) * sc)
+        cand_y0 = ((py_idx.astype(jnp.float32) * t_c + off_cf) * sc)
+        w0 = bank.width[:, 0].astype(jnp.float32)[:, None, None]
+        h0 = bank.height[:, 0].astype(jnp.float32)[:, None, None]
+        cand_ok = (cand_ok
+                   & (cand_x0 + w0 > roi_box[0])
+                   & (cand_x0 < roi_box[2])
+                   & (cand_y0 + h0 > roi_box[1])
+                   & (cand_y0 < roi_box[3]))
     score = (raw_i.astype(jnp.float32) * 100.0
              / (4 * jnp.maximum(nf_c, 1))[:, None, None].astype(jnp.float32))
     score = score + 0.5

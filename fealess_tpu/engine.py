@@ -359,7 +359,8 @@ class ObjReco:
     def recognition_multi(self, rgb_bgr: np.ndarray, depth_u16: np.ndarray,
                           cam: CamIntrinsics,
                           max_objects: Optional[int] = None,
-                          class_ids: Optional[List[str]] = None
+                          class_ids: Optional[List[str]] = None,
+                          roi_mask: Optional[np.ndarray] = None
                           ) -> List[RecoResult]:
         """Multi-object Recognition: refine the top-M match candidates in
         parallel on device and 3D-NMS the refined poses (the multi-object
@@ -378,11 +379,17 @@ class ObjReco:
         # once at add_obj (not per frame — at 1024 templates the stack is
         # ~134 MB), the step is one fused device program, and the result
         # is fetched with ONE bulk device_get.
+        if roi_mask is not None and roi_mask.shape != rgb_bgr.shape[:2]:
+            ph = rgb_bgr.shape[0] - roi_mask.shape[0]
+            pw = rgb_bgr.shape[1] - roi_mask.shape[1]
+            roi_mask = np.pad(roi_mask, ((0, ph), (0, pw)))
         step = pipeline.recognize_multi_jit(
             self.bank, self._model_depth_dev, self._origins_dev,
             jnp.asarray(rgb_bgr), jnp.asarray(depth_u16), scene_k,
             self.cfg, m, kernels=self._kernels,
-            class_mask=self._class_mask(class_ids))
+            class_mask=self._class_mask(class_ids),
+            roi_mask=None if roi_mask is None
+            else jnp.asarray(roi_mask.astype(bool)))
         host = jax.device_get(step)
         widths = np.asarray(self.bank.width)[:, 0]
         heights = np.asarray(self.bank.height)[:, 0]

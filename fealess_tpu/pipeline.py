@@ -147,20 +147,22 @@ def refine_match(scene_depth_u16: jax.Array, scene_k: jax.Array,
 def recognize_multi_jit(bank, model_depth_stack, depth_origins, bgr,
                         scene_depth_u16, scene_k, engine: cfg.EngineConfig,
                         max_objects: int, kernels=None,
-                        class_mask=None) -> "MultiRecoStep":
+                        class_mask=None, roi_mask=None) -> "MultiRecoStep":
     return recognize_multi(bank, model_depth_stack, depth_origins, bgr,
                            scene_depth_u16, scene_k, engine, max_objects,
-                           kernels, class_mask=class_mask)
+                           kernels, class_mask=class_mask,
+                           roi_mask=roi_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))
 def recognize_top1_jit(bank, model_depth_stack, depth_origins, bgr,
                        scene_depth_u16, scene_k, engine: cfg.EngineConfig,
                        kernels=None, class_mask=None,
-                       roi_mask=None) -> "RecoStep":
+                       roi_mask=None, roi_box=None) -> "RecoStep":
     return recognize_top1(bank, model_depth_stack, depth_origins, bgr,
                           scene_depth_u16, scene_k, engine, kernels,
-                          class_mask=class_mask, roi_mask=roi_mask)
+                          class_mask=class_mask, roi_mask=roi_mask,
+                          roi_box=roi_box)
 
 
 @functools.partial(jax.jit, static_argnames=("engine", "crop_h", "crop_w"))
@@ -224,7 +226,8 @@ def recognize_top1(bank, model_depth_stack: jax.Array,
                    depth_origins: jax.Array, bgr: jax.Array,
                    scene_depth_u16: jax.Array, scene_k: jax.Array,
                    engine: cfg.EngineConfig, kernels=None,
-                   class_mask=None, roi_mask=None) -> RecoStep:
+                   class_mask=None, roi_mask=None,
+                   roi_box=None) -> RecoStep:
     """The full Recognition step as ONE jittable function: match the whole
     bank, take the best match (obj_reco_lmicp.cpp:111 takes top-1 only),
     gather its model depth/pose and ICP-refine — no host round trip
@@ -247,7 +250,7 @@ def recognize_top1(bank, model_depth_stack: jax.Array,
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
                                  engine.matching_threshold, d,
                                  masks=masks, kernels=kernels,
-                                 class_mask=class_mask)
+                                 class_mask=class_mask, roi_box=roi_box)
     # Matches are sorted (similarity desc, template asc); slot 0 is the
     # best candidate and `valid[0]` says whether any survived.
     slot = matches.template_slot[0]
@@ -284,7 +287,7 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
                     scene_depth_u16: jax.Array, scene_k: jax.Array,
                     engine: cfg.EngineConfig,
                     max_objects: int, kernels=None,
-                    class_mask=None) -> MultiRecoStep:
+                    class_mask=None, roi_mask=None) -> MultiRecoStep:
     """Multi-object Recognition: match the bank, ICP-refine the top-M
     candidates in parallel (vmap — the reference refines top-1 only,
     obj_reco_lmicp.cpp:111; its detection()+NMS path ICP/NMS.cpp:6-40 is
@@ -295,9 +298,11 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
 
     d = engine.detector
     crop = model_depth_stack.shape[-1]
+    masks = None if roi_mask is None else [roi_mask, roi_mask]
     matches = det_mod.match_bank(bank, bgr, scene_depth_u16,
                                  engine.matching_threshold, d,
-                                 kernels=kernels, class_mask=class_mask)
+                                 masks=masks, kernels=kernels,
+                                 class_mask=class_mask)
     m = max_objects
     slots = matches.template_slot[:m]
     mxs = matches.x[:m]

@@ -110,10 +110,16 @@ def chain_slope(body: Callable[[Any], Any], x0: Any, iters: int = 20,
     """
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def chain(b, steps):
-        return jax.lax.fori_loop(0, steps, lambda i, bb: body(bb), b)
+        out = jax.lax.fori_loop(0, steps, lambda i, bb: body(bb), b)
+        # reduce EVERY leaf to one real scalar: materializing it fences
+        # the whole chain (np.asarray on a pytree would fetch nothing,
+        # and complex leaves cannot be fetched over the axon tunnel)
+        return sum(jnp.real(leaf).astype(jnp.float32).sum()
+                   for leaf in jax.tree.leaves(out))
 
     def run(n):
         t0 = time.perf_counter()

@@ -96,3 +96,35 @@ def test_empty_scene_multi(feature_dir):  # noqa: F811
     blank_bgr = np.full((H, W, 3), 40, np.uint8)
     blank_depth = np.full((H, W), 1200, np.uint16)
     assert eng.recognition_multi(blank_bgr, blank_depth, cam) == []
+
+
+def test_multi_tracked_recognizer(feature_dir):  # noqa: F811
+    """N-object gated tracking: both pasted instances stay tracked and
+    recognized across a panning sequence (per-size-bucket vmapped KCF +
+    one union-masked recognition_multi per frame)."""
+    from fealess_tpu.apps.track import MultiTrackedRecognizer
+
+    eng = _engine(feature_dir)
+    _, (bgr, depth, mask), _ = feature_dir
+    rng = np.random.default_rng(3)
+    scene_bgr, scene_depth, spots = _two_instance_scene(rng, bgr, depth)
+    cam = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+
+    mt = MultiTrackedRecognizer(eng, max_objects=4)
+    step0 = mt.step(scene_bgr, scene_depth, cam)
+    assert step0.redetected and step0.n_tracked == 2
+    assert len(step0.results) == 2
+
+    for i in range(1, 4):
+        sb = np.roll(np.roll(scene_bgr, 2 * i, axis=1), i, axis=0)
+        sd = np.roll(np.roll(scene_depth, 2 * i, axis=1), i, axis=0)
+        step = mt.step(sb, sd, cam)
+        assert not step.redetected, i
+        assert step.n_tracked == 2, i
+        assert len(step.results) == 2, i
+        # tracked ROIs follow the pan
+        for roi in step.rois:
+            assert 0 <= roi[0] < W and 0 <= roi[1] < H
+
+    # objects share one geometry bucket -> a single shared tracker
+    assert len(mt._trackers) == 1
