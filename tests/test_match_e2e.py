@@ -146,3 +146,31 @@ def test_match_translated_object(scene, det_cfg, trained):
         det_cfg.t_at_level[0]
     assert abs(int(np.asarray(m.y)[0]) - (trained.offset_y[0] + dy)) <= \
         det_cfg.t_at_level[0]
+
+
+def test_roi_box_gates_candidates(trained, scene, det_cfg):
+    """Positional search gate (detector roi_box): a box containing the
+    object reproduces the ungated match; a box away from it kills every
+    candidate (the tracked pipeline's cheap gate)."""
+    import jax.numpy as jnp
+    from fealess_tpu.bank import pack_bank
+
+    bgr, depth, mask = scene
+    bank = pack_bank({"obj": [trained]}, levels=det_cfg.pyramid_levels,
+                     capacity=8)
+    free = detector.match_bank(bank, jnp.asarray(bgr), jnp.asarray(depth),
+                               75.0, det_cfg)
+    assert bool(np.asarray(free.valid).any())
+
+    inside = detector.match_bank(
+        bank, jnp.asarray(bgr), jnp.asarray(depth), 75.0, det_cfg,
+        roi_box=jnp.asarray([60.0, 30.0, 200.0, 130.0]))
+    fi_, ii = int(np.argmax(np.asarray(free.valid))), int(
+        np.argmax(np.asarray(inside.valid)))
+    assert int(inside.x[ii]) == int(free.x[fi_])
+    assert float(inside.similarity[ii]) == float(free.similarity[fi_])
+
+    away = detector.match_bank(
+        bank, jnp.asarray(bgr), jnp.asarray(depth), 75.0, det_cfg,
+        roi_box=jnp.asarray([0.0, 0.0, 30.0, 20.0]))
+    assert not bool(np.asarray(away.valid).any())
