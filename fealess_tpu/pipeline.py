@@ -309,10 +309,16 @@ def recognize_multi(bank, model_depth_stack: jax.Array,
     mys = matches.y[:m]
     valid = matches.valid[:m]
 
-    poses, res = jax.vmap(
-        lambda s, x, y: _refine_candidate(
+    # lax.map, not vmap: the candidates' NN kernels serialize either way
+    # (sequential_vmap on the Pallas NN), and under vmap the plane-ICP
+    # degeneracy gate's lax.cond lowers to a select that computes BOTH
+    # the GN and Kabsch updates per candidate (vmap 6.09 ms vs map
+    # 5.39 ms per frame at top-4/1024t, measured on chip).
+    poses, res = jax.lax.map(
+        lambda sxy: _refine_candidate(
             bank, model_depth_stack, depth_origins, scene_depth_u16,
-            scene_k, s, x, y, engine, crop))(slots, mxs, mys)
+            scene_k, sxy[0], sxy[1], sxy[2], engine, crop),
+        (slots, mxs, mys))
 
     # 3D NMS over refined candidate translations (NMS.cpp:6-40); the
     # model-point count is the ICP pair count, the score its dist_mean.
