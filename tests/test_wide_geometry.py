@@ -128,3 +128,28 @@ def test_prepare_frame_arbitrary_aspect(feature_dir):  # noqa: F811
     # intrinsics zoomed by 0.5, untouched by padding
     assert float(k[0, 0]) == pytest.approx(FX)
     assert float(k[0, 2]) == pytest.approx(120.0)
+
+
+def test_aspect_change_reconfigures_engine(feature_dir):  # noqa: F811
+    """One engine serving two different camera aspects sequentially:
+    processing dims re-pin and score tables rebuild on the aspect
+    change, and detection still works on both."""
+    _, (bgr, depth, mask), _ = feature_dir
+    eng = _engine_with(feature_dir, W)
+    cam_a = CamIntrinsics(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    assert eng.recognition(bgr, depth, cam_a)
+    dims_a = (eng.cfg.detector.image_height, eng.cfg.detector.image_width)
+
+    ch, cw = 200, 260                     # different aspect, not aligned
+    big_bgr = np.zeros((ch, cw, 3), np.uint8)
+    big_bgr[:H, :W] = bgr
+    big_depth = np.zeros((ch, cw), np.uint16)
+    big_depth[:H, :W] = depth
+    cam_b = CamIntrinsics(fx=FX, fy=FY, cx=cw / 2.0, cy=ch / 2.0,
+                          width=cw, height=ch)
+    assert eng.recognition(big_bgr, big_depth, cam_b)
+    dims_b = (eng.cfg.detector.image_height, eng.cfg.detector.image_width)
+    assert dims_b != dims_a
+
+    # and back again
+    assert eng.recognition(bgr, depth, cam_a)
