@@ -212,3 +212,48 @@ def test_exact_top_k_rows_equals_flat_top_k(rng):
         s1, i1 = detector.exact_top_k_rows(flat, k, rows)
         np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_deferred_topk_equals_flat_f32_formulation():
+    """The integer-domain per-row top-k with deferred f32 conversion
+    (detector.match_from_planes) must equal the flat f32 formulation
+    exactly — values AND flat indices, including heavy ties (the
+    identical-template fixture is all ties)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fealess_tpu import detector
+
+    rng = np.random.default_rng(1)
+    n, hd, wd = 64, 12, 17
+    p = hd * wd
+    k = 24
+    for trial in range(3):
+        raw = rng.integers(0, 12 if trial else 3, size=(n, hd, wd))
+        raw = jnp.asarray(raw.astype(np.int32))
+        nf = jnp.asarray(rng.integers(1, 127, size=(n,)).astype(np.int32))
+        ok = jnp.asarray(rng.random((n, hd, wd)) > 0.3)
+        scale = (100.0 / (4 * jnp.maximum(nf, 1)).astype(jnp.float32))
+
+        # reference formulation
+        score = raw.astype(jnp.float32) * scale[:, None, None] + 0.5
+        flat = jnp.where(ok, score, -jnp.inf).reshape(-1)
+        ref_s, ref_i = detector.exact_top_k_rows(flat, k, n)
+
+        # deferred formulation (as in match_from_planes)
+        raw_masked = jnp.where(ok, raw, -1).reshape(n, p)
+        kk = min(k, p)
+        s2, i2 = jax.lax.top_k(raw_masked, kk)
+        s2f = jnp.where(s2 >= 0,
+                        s2.astype(jnp.float32) * scale[:, None] + 0.5,
+                        -jnp.inf)
+        gidx = (jnp.arange(n, dtype=jnp.int32)[:, None] * p
+                + i2.astype(jnp.int32))
+        new_s, im = jax.lax.top_k(s2f.reshape(-1), k)
+        new_i = gidx.reshape(-1)[im]
+
+        assert np.array_equal(np.asarray(ref_s), np.asarray(new_s)), trial
+        # indices must agree wherever scores are finite (tie order incl.)
+        fin = np.isfinite(np.asarray(ref_s))
+        assert np.array_equal(np.asarray(ref_i)[fin],
+                              np.asarray(new_i)[fin]), trial
