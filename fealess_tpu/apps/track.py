@@ -90,18 +90,6 @@ class TrackedRecognizer:
 
         return fused
 
-    def _roi_mask(self, shape_hw, roi) -> np.ndarray:
-        x, y, w, h = roi
-        cx, cy = x + w / 2.0, y + h / 2.0
-        we, he = w * self.roi_expand, h * self.roi_expand
-        x0 = max(int(cx - we / 2), 0)
-        y0 = max(int(cy - he / 2), 0)
-        x1 = min(int(cx + we / 2), shape_hw[1])
-        y1 = min(int(cy + he / 2), shape_hw[0])
-        mask = np.zeros(shape_hw, bool)
-        mask[y0:y1, x0:x1] = True
-        return mask
-
     def step(self, bgr: np.ndarray, depth_u16: np.ndarray,
              cam: CamIntrinsics) -> TrackStep:
         """Process one frame: track -> gated match -> (re)init."""
@@ -110,7 +98,6 @@ class TrackedRecognizer:
             raise ValueError("gated tracking requires zoom == 1 "
                              f"(camera {cam.width} vs processing "
                              f"{d.image_width})")
-        h, w = bgr.shape[:2]
         redetect = self._state is None
         roi = None
         if not redetect:
@@ -215,7 +202,7 @@ class MultiTrackedRecognizer:
         self._objs = []
         self._trackers = {}
 
-    def _tracker_for(self, roi, image) -> KcfTracker:
+    def _tracker_for(self, roi) -> KcfTracker:
         probe = KcfTracker(self.kcf_cfg)
         key = probe._fit_template(float(roi[2]), float(roi[3]))
         if key not in self._trackers:
@@ -243,7 +230,7 @@ class MultiTrackedRecognizer:
             bgr, depth_u16, cam, max_objects=self.max_objects)
         self._objs = []
         for r in results:
-            tr = self._tracker_for(r.match_rect, bgr)
+            tr = self._tracker_for(r.match_rect)
             state = tr.init(r.match_rect, bgr)
             self._objs.append(_TrackedObject(tr, state))
         return results
