@@ -261,11 +261,12 @@ class MultiTrackedRecognizer:
                 [self._objs[i].state for i in idxs])
             batch = tracker.update_batch_jit(stacked, bgr)
             states = KcfTracker.unstack_states(batch)
+            # ONE roi fetch per bucket (per-object fetches would pay the
+            # host<->device round trip N times)
+            rois_np = _np.asarray(jax.device_get(batch.roi))
             for j, i in enumerate(idxs):
                 self._objs[i].state = states[j]
-                rois[i] = tuple(map(float,
-                                    _np.asarray(jax.device_get(
-                                        states[j].roi))))
+                rois[i] = tuple(map(float, rois_np[j]))
 
         # 2. one union-masked multi-object recognition
         mask = self._union_mask(bgr.shape[:2], rois)
