@@ -168,7 +168,15 @@ def cmd_recon(args) -> int:
         return 1
     first = cv2.imread(pairs[0][0])
     h, w = first.shape[:2]
-    eng = _engine_for(args, w, h)
+    if getattr(args, "artifact", None):
+        from fealess_tpu.io.export import ServingArtifact
+        eng = ServingArtifact(args.artifact)
+        if args.multi:
+            print("--artifact serves the top-1 path only",
+                  file=sys.stderr)
+            return 1
+    else:
+        eng = _engine_for(args, w, h)
     cam = _camera(args, w, h)
 
     mesh = None
@@ -220,7 +228,8 @@ def cmd_recon(args) -> int:
             cv2.imwrite(os.path.join(args.overlay_dir, f"{idx}.png"), img)
     dt = time.perf_counter() - t0
     print(f"# {n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
-    if getattr(args, "profile", False) and last_frame is not None:
+    if (getattr(args, "profile", False) and last_frame is not None
+            and not getattr(args, "artifact", None)):
         print("# host wall-clock per frame:", file=sys.stderr)
         print("\n".join("# " + ln for ln in timer.report().splitlines()),
               file=sys.stderr)
@@ -230,6 +239,13 @@ def cmd_recon(args) -> int:
                                           last_frame[1], cam):
             print(f"# {name:<36}{secs * 1e3:>10.3f} ms/frame",
                   file=sys.stderr)
+    return 0
+
+
+def cmd_export(args) -> int:
+    eng = _engine_for(args, args.width, args.height)
+    eng.export_artifact(args.out)
+    print(f"artifact -> {args.out}")
     return 0
 
 
@@ -272,7 +288,8 @@ def cmd_track(args) -> int:
                             "pose": np.asarray(r.world2cam).tolist()}
                            for r in step.results]}
         print(json.dumps(out))
-    if getattr(args, "profile", False) and last_frame is not None:
+    if (getattr(args, "profile", False) and last_frame is not None
+            and not getattr(args, "artifact", None)):
         print("# host wall-clock per frame:", file=sys.stderr)
         print("\n".join("# " + ln for ln in timer.report().splitlines()),
               file=sys.stderr)
@@ -389,12 +406,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write wireframe overlay pngs here")
     r.add_argument("--model-scale", type=float, default=0.1,
                    help="OBJ vertex divisor (RENDERING_MODEL_SCALE)")
+    r.add_argument("--artifact", default=None,
+                   help="serve from a serialized artifact dir (see the "
+                        "export subcommand) instead of loading the YAML "
+                        "bank — no jit re-trace on cold start")
     r.set_defaults(fn=cmd_recon)
 
     k = sub.add_parser("track", help="KCF-gated recognition over a series")
     _recon_like(k)
     k.add_argument("--max-lost", type=int, default=2)
     k.set_defaults(fn=cmd_track)
+
+    x = sub.add_parser("export", help="write the serialized serving "
+                       "artifact (the libObjRecoLmICP.so analog)")
+    _recon_like(x)
+    x.add_argument("out", help="artifact output directory")
+    x.add_argument("--width", type=int, default=640,
+                   help="processing width baked into the artifact")
+    x.add_argument("--height", type=int, default=480)
+    x.set_defaults(fn=cmd_export)
 
     e = sub.add_parser("eval", help="ADD metrics from recon output")
     e.add_argument("dir", help="package dir with pose/<i>.txt + model.obj")

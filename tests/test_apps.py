@@ -298,3 +298,32 @@ def test_cli_recon_profile(package_dir, capsys):
     assert "recognition(+fetch)" in err
     assert "frontend(quant+planes)" in err
     assert "full(match+icp_refine)" in err
+
+
+def test_cli_export_and_artifact_recon(package_dir, tmp_path, capsys):
+    """fealess export writes the serving artifact; recon --artifact
+    serves from it with the same detections as the engine path."""
+    art = str(tmp_path / "artifact")
+    rc = cli.main(["export", package_dir, art, "--width", str(W),
+                   "--height", str(H), "--refine-crop", "128",
+                   "--icp-max-points", "8192"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["recon", package_dir, "--refine-crop", "128",
+                   "--icp-max-points", "8192"])
+    assert rc == 0
+    ref_lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+
+    rc = cli.main(["recon", package_dir, "--artifact", art,
+                   "--refine-crop", "128", "--icp-max-points", "8192"])
+    assert rc == 0
+    art_lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+    assert len(art_lines) == len(ref_lines) >= 1
+    for a, b in zip(art_lines, ref_lines):
+        assert bool(a["results"]) == bool(b["results"])
+        if a["results"]:
+            assert a["results"][0]["similarity"] == pytest.approx(
+                b["results"][0]["similarity"])
